@@ -1,0 +1,165 @@
+"""Architecture (subnet) configuration and sampling.
+
+The reference mutates module attributes (`set_active_subnet`,
+ofa_mbs4.py:263-293) and samples with Python `random` under a deterministic
+per-(epoch, batch, subnet) seed (progressive_shrinking.py:161-165). Here a
+subnet is an immutable host-side `SubnetConfig`; `to_device()` turns it into
+a pytree of small int arrays that feed the single compiled masked-execution
+step (SURVEY.md §7.0) — no recompiles, no module mutation.
+
+Sampling reproduces the reference contract exactly: `random.seed(subnet_seed)`
+then per-block `random.choice(ks)`, per-block choice(e), per-stage choice(d),
+one choice(pixel_d) — in that order (ofa_mbs4.py:316-370). Constraint
+include-lists (`set_constraint`, ofa_mbs4.py:295-307) are plain arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..utils.common import int2list, make_divisible
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchSpace:
+    """Static description of one elastic MBConv trunk's search space."""
+
+    ks_list: Sequence[int] = (3, 5, 7)
+    expand_list: Sequence[float] = (3, 4, 6)
+    depth_list: Sequence[int] = (2, 3, 4)
+    pixel_d_list: Sequence[int] = (1, 2)
+    n_stages: int = 4          # elastic MBConv stages per trunk
+    width: int = 64            # trunk channel width (base_stage_width, ofa_mbs4.py:37)
+
+    def __post_init__(self):
+        object.__setattr__(self, "ks_list", sorted(set(int2list(self.ks_list))))
+        object.__setattr__(self, "expand_list", sorted(int2list(self.expand_list)))
+        object.__setattr__(self, "depth_list", sorted(int2list(self.depth_list)))
+        object.__setattr__(self, "pixel_d_list", sorted(int2list(self.pixel_d_list)))
+
+    @property
+    def max_depth(self) -> int:
+        return max(self.depth_list)
+
+    @property
+    def max_ks(self) -> int:
+        return max(self.ks_list)
+
+    @property
+    def max_expand(self):
+        return max(self.expand_list)
+
+    @property
+    def blocks_per_trunk(self) -> int:
+        return self.n_stages * self.max_depth
+
+    @property
+    def max_mid(self) -> int:
+        return round(self.width * self.max_expand)
+
+    def mid_channels(self, expand_ratio) -> int:
+        """make_divisible(round(in * e), 8) — DynamicMBConvLayer.forward
+        (dynamic_layers.py:75-77)."""
+        return make_divisible(round(self.width * expand_ratio), 8)
+
+    def mid_candidates(self) -> List[int]:
+        return [self.mid_channels(e) for e in self.expand_list]
+
+
+@dataclasses.dataclass(frozen=True)
+class SubnetConfig:
+    """One sampled subnet. `ks`/`e` are per MBConv block (over all trunks in
+    network order), `d` per stage, `pixel_d` a single int mirrored to both
+    the unshuffle and shuffle heads (ofa_mbx4.py:360-376)."""
+
+    ks: tuple
+    e: tuple
+    d: tuple
+    pixel_d: int
+
+    def to_device(self, space: SearchSpace):
+        """Pytree of int32 arrays for the masked supernet forward.
+
+        ks becomes an index into sorted(set(ks_list)); e becomes the active
+        middle-channel count (make_divisible applied host-side so the traced
+        side only sees widths).
+        """
+        ks_set = list(space.ks_list)
+        return {
+            "ks_idx": jnp.asarray([ks_set.index(k) for k in self.ks], jnp.int32),
+            "mid": jnp.asarray([space.mid_channels(e) for e in self.e], jnp.int32),
+            "depth": jnp.asarray(self.d, jnp.int32),
+            "pixel_d": jnp.asarray(self.pixel_d, jnp.int32),
+        }
+
+    def describe(self) -> str:
+        return "ks%s_e%s_d%s_pd%d" % (list(self.ks), list(self.e), list(self.d), self.pixel_d)
+
+
+def max_subnet(space: SearchSpace, n_trunks: int = 1) -> SubnetConfig:
+    n_blocks = space.blocks_per_trunk * n_trunks
+    return SubnetConfig(
+        ks=tuple([space.max_ks] * n_blocks),
+        e=tuple([space.max_expand] * n_blocks),
+        d=tuple([space.max_depth] * (space.n_stages * n_trunks)),
+        pixel_d=max(space.pixel_d_list),
+    )
+
+
+def uniform_subnet(space: SearchSpace, ks, e, d, pixel_d, n_trunks: int = 1) -> SubnetConfig:
+    """Broadcast scalars across blocks/stages (reference set_active_subnet's
+    int2list broadcasting, ofa_mbs4.py:279-282)."""
+    n_blocks = space.blocks_per_trunk * n_trunks
+    return SubnetConfig(
+        ks=tuple(int2list(ks, n_blocks)),
+        e=tuple(int2list(e, n_blocks)),
+        d=tuple(int2list(d, space.n_stages * n_trunks)),
+        pixel_d=pixel_d if not isinstance(pixel_d, (list, tuple)) else pixel_d[0],
+    )
+
+
+def subnet_seed(epoch: int, n_batch: int, batch_idx: int, subnet_idx: int) -> int:
+    """The reference's determinism contract:
+    int('%d%.3d%.3d' % (epoch * nBatch + i, subnet_idx, 0))
+    (progressive_shrinking.py:161-165)."""
+    return int("%d%.3d%.3d" % (epoch * n_batch + batch_idx, subnet_idx, 0))
+
+
+def sample_subnet(
+    space: SearchSpace,
+    seed: Optional[int] = None,
+    n_trunks: int = 1,
+    ks_candidates: Optional[Sequence] = None,
+    expand_candidates: Optional[Sequence] = None,
+    depth_candidates: Optional[Sequence] = None,
+    pixel_d_candidates: Optional[Sequence] = None,
+    rng: Optional[random.Random] = None,
+) -> SubnetConfig:
+    """Uniform per-dimension sampling in the reference's exact draw order
+    (sample_active_subnet, ofa_mbs4.py:316-370): all ks draws, then all e
+    draws, then per-stage d draws, then one pixel_d draw.
+
+    Candidate overrides implement `set_constraint` include-lists
+    (ofa_mbs4.py:295-307). Passing `seed` reseeds the module-level Python
+    RNG exactly like `random.seed(subnet_seed)` in the reference trainer.
+    """
+    if rng is None:
+        if seed is not None:
+            random.seed(seed)
+        rng = random
+
+    ks_c = list(ks_candidates) if ks_candidates is not None else list(space.ks_list)
+    e_c = list(expand_candidates) if expand_candidates is not None else list(space.expand_list)
+    d_c = list(depth_candidates) if depth_candidates is not None else list(space.depth_list)
+    p_c = list(pixel_d_candidates) if pixel_d_candidates is not None else list(space.pixel_d_list)
+
+    n_blocks = space.blocks_per_trunk * n_trunks
+    ks = [rng.choice(ks_c) for _ in range(n_blocks)]
+    e = [rng.choice(e_c) for _ in range(n_blocks)]
+    d = [rng.choice(d_c) for _ in range(space.n_stages * n_trunks)]
+    pixel_d = rng.choice(p_c)
+    return SubnetConfig(ks=tuple(ks), e=tuple(e), d=tuple(d), pixel_d=pixel_d)

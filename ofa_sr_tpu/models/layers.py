@@ -1,0 +1,161 @@
+"""Functional layer builders: static ConvLayer and the elastic MBConv block.
+
+Static ConvLayer mirrors ofa/layers.py:120-187 (conv -> BN -> act, bias-free
+conv when BN is used); the elastic MBConv mirrors DynamicMBConvLayer
+(dynamic_layers.py:14-111): inverted-bottleneck 1x1 -> depthwise (elastic
+kernel) -> point-linear 1x1, each with BN, relu6 after the first two.
+
+Everything runs at max shape with masks (see ops/elastic.py); a layer is a
+pair of pure functions (init, apply) over explicit param/state pytrees.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import apply_act
+from ..ops.conv import conv2d, conv_init, depthwise_conv2d, depthwise_conv_init
+from ..ops.elastic import (
+    channel_mask,
+    kernel_candidates,
+    select_kernel,
+    transform_matrices_init,
+)
+from ..ops.norm import batch_norm, bn_init
+from ..ops.pixelshuffle import pixel_shuffle, pixel_unshuffle
+from .arch import SearchSpace
+
+
+# ---------------------------------------------------------------------------
+# Static ConvLayer (conv + BN + act, ofa/layers.py:120-187)
+# ---------------------------------------------------------------------------
+
+def conv_layer_init(key, in_ch, out_ch, kernel_size, dtype=jnp.float32):
+    bn_p, bn_s = bn_init(out_ch, dtype)
+    return (
+        {"conv": {"w": conv_init(key, kernel_size, in_ch, out_ch, dtype)}, "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def conv_layer_apply(p, s, x, *, act=None, training=False, bn_cfg=None,
+                     shuffle=None, stride=1):
+    """conv -> BN -> act; `shuffle` in {None,'shuffle','unshuffle'} applies
+    the pixel(un)shuffle "activation" (ofa/utils.py:259-260,309-310 wiring:
+    the shuffle comes *after* conv+BN, as the act slot)."""
+    bn_cfg = bn_cfg or {}
+    y = conv2d(x, p["conv"]["w"], stride=stride)
+    y, new_bn = batch_norm(y, p["bn"], s["bn"], training=training, **bn_cfg)
+    if shuffle == "shuffle":
+        y = pixel_shuffle(y, 2)
+    elif shuffle == "unshuffle":
+        y = pixel_unshuffle(y, 2)
+    y = apply_act(y, act)
+    return y, {"bn": new_bn}
+
+
+# ---------------------------------------------------------------------------
+# Elastic MBConv block (DynamicMBConvLayer, dynamic_layers.py:14-111)
+# ---------------------------------------------------------------------------
+
+def mbconv_init(key, space: SearchSpace, dtype=jnp.float32, use_transform=True):
+    """Weight banks at max shape: 1x1 (C -> max_mid), depthwise
+    (max_ks, max_mid), 1x1 (max_mid -> C), plus kernel-transform matrices."""
+    c = space.width
+    mid = space.max_mid
+    k_ib, k_dw, k_pl = jax.random.split(key, 3)
+    p = {
+        "inverted_bottleneck": {
+            "conv": {"w": conv_init(k_ib, 1, c, mid, dtype)},
+            "bn": None,
+        },
+        "depth_conv": {
+            "conv": {"w": depthwise_conv_init(k_dw, space.max_ks, mid, dtype)},
+            "bn": None,
+        },
+        "point_linear": {
+            "conv": {"w": conv_init(k_pl, 1, mid, c, dtype)},
+            "bn": None,
+        },
+    }
+    s = {}
+    p["inverted_bottleneck"]["bn"], s_ib = bn_init(mid, dtype)
+    p["depth_conv"]["bn"], s_dw = bn_init(mid, dtype)
+    p["point_linear"]["bn"], s_pl = bn_init(c, dtype)
+    if use_transform and len(space.ks_list) > 1:
+        p["depth_conv"]["kt"] = transform_matrices_init(space.ks_list, dtype)
+    s = {"inverted_bottleneck": {"bn": s_ib}, "depth_conv": {"bn": s_dw},
+         "point_linear": {"bn": s_pl}}
+    return p, s
+
+
+def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
+                 act="relu6", training=False, bn_cfg=None):
+    """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
+    is the active middle width (both traced int32 scalars).
+
+    Numerically identical to the reference's sliced execution
+    (dynamic_layers.py:70-84): masking the bottleneck output zeroes the
+    inactive channel suffix, so the depthwise and point-linear convs see
+    exactly the sliced computation; BN statistics over active channels are
+    unaffected by zeroed inactive channels (ops/norm.py).
+    """
+    bn_cfg = bn_cfg or {}
+    mask = channel_mask(mid, space.max_mid, x.dtype)
+    new_s = {}
+
+    # inverted bottleneck 1x1 (+BN, act)
+    y = conv2d(x, p["inverted_bottleneck"]["conv"]["w"])
+    y, bn_ib = batch_norm(y, p["inverted_bottleneck"]["bn"],
+                          s["inverted_bottleneck"]["bn"], training=training,
+                          mask=mask, **bn_cfg)
+    y = apply_act(y, act)
+    new_s["inverted_bottleneck"] = {"bn": bn_ib}
+
+    # depthwise (elastic kernel) (+BN, act)
+    use_t = "kt" in p["depth_conv"]
+    cands = kernel_candidates(
+        p["depth_conv"]["conv"]["w"],
+        p["depth_conv"].get("kt"),
+        space.ks_list,
+        use_transform=use_t,
+    )
+    w_dw = select_kernel(cands, ks_idx)
+    y = depthwise_conv2d(y, w_dw)
+    y, bn_dw = batch_norm(y, p["depth_conv"]["bn"], s["depth_conv"]["bn"],
+                          training=training, mask=mask, **bn_cfg)
+    y = apply_act(y, act)
+    new_s["depth_conv"] = {"bn": bn_dw}
+
+    # point linear 1x1 (+BN, no act)
+    y = conv2d(y, p["point_linear"]["conv"]["w"])
+    y, bn_pl = batch_norm(y, p["point_linear"]["bn"], s["point_linear"]["bn"],
+                          training=training, **bn_cfg)
+    new_s["point_linear"] = {"bn": bn_pl}
+    return y, new_s
+
+
+def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
+                         ks_idx, mid, depth, *, act="relu6", training=False,
+                         bn_cfg=None):
+    """One elastic stage: up to max_depth MBConv blocks with identity
+    shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
+    first `depth` of them active (runtime_depth truncation,
+    ofa_mbs4.py:152-156).
+
+    Inactive blocks are gated out with `where` — their output and their BN
+    state updates are both discarded, so gradients and statistics match the
+    reference's skipped blocks exactly.
+    """
+    new_states = []
+    for i, (bp, bs) in enumerate(zip(blocks_p, blocks_s)):
+        out, ns = mbconv_apply(bp, bs, x, space, ks_idx[i], mid[i],
+                               act=act, training=training, bn_cfg=bn_cfg)
+        gate = i < depth
+        x = jnp.where(gate, out + x, x)
+        ns = jax.tree.map(lambda a, b: jnp.where(gate, a, b), ns, bs)
+        new_states.append(ns)
+    return x, new_states

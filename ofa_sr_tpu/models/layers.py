@@ -140,7 +140,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 
 def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
-                         bn_cfg=None):
+                         bn_cfg=None, remat=False):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -150,10 +150,19 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     state updates are both discarded, so gradients and statistics match the
     reference's skipped blocks exactly.
     """
+    def block_fn(bp, bs, xx, k_i, m_i):
+        return mbconv_apply(bp, bs, xx, space, k_i, m_i,
+                            act=act, training=training, bn_cfg=bn_cfg)
+
+    if remat:
+        # rematerialize each block's activations in the backward pass:
+        # masked execution runs every block at max width, whose residuals
+        # (B,H,W,max_mid) x 16 blocks otherwise exceed HBM at batch 16/96px
+        block_fn = jax.checkpoint(block_fn)
+
     new_states = []
     for i, (bp, bs) in enumerate(zip(blocks_p, blocks_s)):
-        out, ns = mbconv_apply(bp, bs, x, space, ks_idx[i], mid[i],
-                               act=act, training=training, bn_cfg=bn_cfg)
+        out, ns = block_fn(bp, bs, x, ks_idx[i], mid[i])
         gate = i < depth
         x = jnp.where(gate, out + x, x)
         ns = jax.tree.map(lambda a, b: jnp.where(gate, a, b), ns, bs)

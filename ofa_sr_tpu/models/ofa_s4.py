@@ -87,7 +87,8 @@ class OFAMobileNetS4:
     # -- forward ------------------------------------------------------------
 
     def apply(self, params, state, x, arch, *, pixel_d: int,
-              training: bool = False, bn_training: Optional[bool] = None):
+              training: bool = False, bn_training: Optional[bool] = None,
+              remat: bool = False):
         """Forward the decoder. `arch` is a SubnetConfig.to_device() pytree
         (its 'pixel_d' entry is ignored here — pixel_d must be static).
 
@@ -113,7 +114,7 @@ class OFAMobileNetS4:
             x, stage_s = residual_stage_apply(
                 params["blocks"][lo:hi], state["blocks"][lo:hi], x, sp,
                 arch["ks_idx"][lo:hi], arch["mid"][lo:hi], arch["depth"][stage],
-                act="relu6", training=bnt, bn_cfg=self.bn_cfg)
+                act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat)
             blocks_new_s.extend(stage_s)
         new_s["blocks"] = blocks_new_s
 

@@ -119,7 +119,7 @@ class OFAMobileNetX4:
 
     # -- forward pieces -------------------------------------------------------
 
-    def _trunk(self, blocks_p, blocks_s, x, arch, trunk_idx, bnt):
+    def _trunk(self, blocks_p, blocks_s, x, arch, trunk_idx, bnt, remat=False):
         sp = self.space
         d_max = sp.max_depth
         base_b = trunk_idx * sp.blocks_per_trunk
@@ -132,12 +132,13 @@ class OFAMobileNetX4:
                 arch["ks_idx"][base_b + lo:base_b + hi],
                 arch["mid"][base_b + lo:base_b + hi],
                 arch["depth"][base_s + stage],
-                act="relu6", training=bnt, bn_cfg=self.bn_cfg)
+                act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat)
             new_states.extend(stage_s)
         return x, new_states
 
     def encode(self, params, state, x, arch, *, pixel_d: int,
-               training: bool = False, bn_training: Optional[bool] = None):
+               training: bool = False, bn_training: Optional[bool] = None,
+               remat: bool = False):
         """HR image -> 3-channel learned downscaled image (2^pixel_d smaller)."""
         bnt = bool(training if bn_training is None else bn_training)
         new_s = {}
@@ -151,7 +152,7 @@ class OFAMobileNetX4:
 
         enc_big_skip = x
         x, new_s["enc_blocks"] = self._trunk(
-            params["enc_blocks"], state["enc_blocks"], x, arch, 0, bnt)
+            params["enc_blocks"], state["enc_blocks"], x, arch, 0, bnt, remat)
 
         fin_s = []
         for i in range(3):
@@ -165,7 +166,8 @@ class OFAMobileNetX4:
         return x, new_s
 
     def decode(self, params, state, x, arch, *, pixel_d: int,
-               training: bool = False, bn_training: Optional[bool] = None):
+               training: bool = False, bn_training: Optional[bool] = None,
+               remat: bool = False):
         """3-channel LR image -> HR reconstruction (2^pixel_d larger)."""
         bnt = bool(training if bn_training is None else bn_training)
         new_s = {}
@@ -176,7 +178,7 @@ class OFAMobileNetX4:
 
         dec_big_skip = x
         x, new_s["dec_blocks"] = self._trunk(
-            params["dec_blocks"], state["dec_blocks"], x, arch, 1, bnt)
+            params["dec_blocks"], state["dec_blocks"], x, arch, 1, bnt, remat)
 
         fin_s = []
         for i in range(2):
@@ -201,20 +203,24 @@ class OFAMobileNetX4:
         return x, new_s
 
     def apply(self, params, state, x, arch, *, pixel_d: int, mode: str = "sr",
-              training: bool = False, bn_training: Optional[bool] = None):
+              training: bool = False, bn_training: Optional[bool] = None,
+              remat: bool = False):
         """mode='sr': decoder-only on a bicubic LR input (the live DIV2K
         config); mode='autoencoder': encoder+decoder on an HR input."""
         if mode == "sr":
             y, dec_s = self.decode(params, state, x, arch, pixel_d=pixel_d,
-                                   training=training, bn_training=bn_training)
+                                   training=training, bn_training=bn_training,
+                                   remat=remat)
             new_s = dict(state)
             new_s.update(dec_s)
             return y, new_s
         elif mode == "autoencoder":
             lr, enc_s = self.encode(params, state, x, arch, pixel_d=pixel_d,
-                                    training=training, bn_training=bn_training)
+                                    training=training, bn_training=bn_training,
+                                    remat=remat)
             y, dec_s = self.decode(params, state, lr, arch, pixel_d=pixel_d,
-                                   training=training, bn_training=bn_training)
+                                   training=training, bn_training=bn_training,
+                                   remat=remat)
             new_s = dict(state)
             new_s.update(enc_s)
             new_s.update(dec_s)

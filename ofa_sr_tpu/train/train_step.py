@@ -1,0 +1,178 @@
+"""The jitted multi-subnet training step — the reference hot loop
+(progressive_shrinking.py:94-224 / sr_run_manager.py:413-514) as one XLA
+program.
+
+Per optimizer step (reference semantics):
+- loop `dynamic_batch_size` sampled subnets; each computes MSE(output, HR)
+  (optionally + KD against a teacher forward) and *accumulates* gradients
+  (loss.backward() per subnet, one optimizer.step() —
+  progressive_shrinking.py:158-203). Here that is a Python loop over K
+  static subnet slots inside jit, summing grads before a single update.
+- the sampled pixel_d picks the 2x- or 4x-downscaled input
+  (progressive_shrinking.py:177-180): `lax.cond` over the two structural
+  branches — the only shape-level branch in the program.
+- BN running stats thread sequentially through the subnet loop, and
+  frozen-BN mode (sr_run_manager.py:416-423) skips their update entirely.
+- the PSNR-Y metric is computed on device (no per-step host sync —
+  SURVEY.md §3.5 item 4).
+
+Data parallelism: the step has global-batch semantics; run it under jit with
+the batch sharded over a mesh (parallel/mesh.py) and XLA inserts the gradient
+all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.metrics import psnr_y_device
+from .optim import make_optimizer, no_decay_mask
+
+
+class SRTrainer:
+    """Owns the compiled train/eval steps for an SR supernet (S4 or X4).
+
+    net: OFAMobileNetS4 / OFAMobileNetX4 instance.
+    mode: 'sr' (input = bicubic LR chosen by pixel_d) or 'autoencoder'
+          (input = HR; X4 encoder downscales — the oracle/codec task).
+    """
+
+    def __init__(self, net, *, opt_type="adam", weight_decay=3e-5,
+                 momentum=0.9, nesterov=True, kd_ratio=0.0,
+                 mode: str = "sr", bn_frozen: bool = False,
+                 teacher_net=None):
+        self.net = net
+        self.opt_type = opt_type
+        self.weight_decay = weight_decay
+        self.momentum = momentum
+        self.nesterov = nesterov
+        self.kd_ratio = kd_ratio
+        self.mode = mode
+        self.bn_frozen = bn_frozen
+        self.teacher_net = teacher_net
+        self._tx = None
+
+    # -- optimizer ------------------------------------------------------------
+
+    def tx(self, params):
+        if self._tx is None:
+            mask = no_decay_mask(params) if self.weight_decay else None
+            self._tx = make_optimizer(
+                self.opt_type, self.weight_decay, mask,
+                momentum=self.momentum, nesterov=self.nesterov)
+        return self._tx
+
+    def init_opt_state(self, params):
+        return self.tx(params).init(params)
+
+    # -- forward with the pixel_d structural branch ---------------------------
+
+    def _forward(self, params, state, batch, arch, *, training):
+        """Returns (output_hr, new_state). Branches on arch['pixel_d']."""
+        bn_training = False if self.bn_frozen else training
+        # rematerialize block activations during training: masked execution
+        # at max width (B,H,W,384)x16-blocks of residuals would blow HBM
+        kw = dict(training=training, bn_training=bn_training, remat=training)
+        if self.mode == "autoencoder":
+            def f(pd):
+                return lambda _: self.net.apply(
+                    params, state, batch["image"], arch, pixel_d=pd,
+                    mode="autoencoder", **kw)
+        else:
+            inputs = {1: batch["x2"], 2: batch["x4"]}
+
+            def f(pd):
+                if hasattr(self.net, "decode"):  # X4 in sr mode: decoder only
+                    return lambda _: self.net.apply(
+                        params, state, inputs[pd], arch, pixel_d=pd,
+                        mode="sr", **kw)
+                return lambda _: self.net.apply(
+                    params, state, inputs[pd], arch, pixel_d=pd, **kw)
+
+        pds = sorted(self.net.space.pixel_d_list)
+        if len(pds) == 1:
+            return f(pds[0])(None)
+        # lax.switch over the possible pixel depths (2 in the reference)
+        idx = jnp.searchsorted(jnp.asarray(pds), arch["pixel_d"])
+        return lax.switch(idx, [f(pd) for pd in pds], None)
+
+    # -- losses ---------------------------------------------------------------
+
+    def _subnet_loss(self, params, state, batch, arch, teacher_out):
+        out, new_state = self._forward(params, state, batch, arch, training=True)
+        hr = batch["image"]
+        mse = jnp.mean(jnp.square(out - hr))
+        if self.kd_ratio > 0 and teacher_out is not None:
+            # working KD (the reference SR KD path is broken —
+            # progressive_shrinking.py:190 NameError; semantics kept:
+            # ratio * kd + task loss, scaled 2/(ratio+1))
+            kd = jnp.mean(jnp.square(out - teacher_out))
+            loss = (self.kd_ratio * kd + mse) * (2.0 / (self.kd_ratio + 1.0))
+        else:
+            loss = mse
+        psnr = psnr_y_device(out, hr)
+        return loss, (new_state, psnr)
+
+    # -- the compiled steps ----------------------------------------------------
+
+    def make_train_step(self, n_subnets: int = 1, teacher_params=None,
+                        teacher_state=None, teacher_arch=None,
+                        teacher_pixel_d: int = 1, donate: bool = True):
+        """Build the jitted step. `archs` is a tuple of `n_subnets` arch
+        pytrees (SubnetConfig.to_device), sampled host-side under the
+        reference seed contract."""
+        tx_holder = {}
+
+        def step(params, state, opt_state, batch, archs, lr):
+            teacher_out = None
+            if self.kd_ratio > 0 and self.teacher_net is not None:
+                teacher_out, _ = self.teacher_net.apply(
+                    teacher_params, teacher_state, batch["x2"], teacher_arch,
+                    pixel_d=teacher_pixel_d, training=False)
+                teacher_out = lax.stop_gradient(teacher_out)
+
+            grads_sum = None
+            losses, psnrs = [], []
+            cur_state = state
+            for k in range(n_subnets):
+                arch = archs[k]
+                (loss, (cur_state, psnr)), g = jax.value_and_grad(
+                    self._subnet_loss, has_aux=True)(
+                        params, cur_state, batch, arch, teacher_out)
+                grads_sum = g if grads_sum is None else jax.tree.map(
+                    jnp.add, grads_sum, g)
+                losses.append(loss)
+                psnrs.append(psnr)
+
+            updates, new_opt_state = tx_holder["tx"].update(
+                grads_sum, opt_state, params)
+            new_params = jax.tree.map(lambda pp, u: pp + lr * u, params, updates)
+            metrics = {
+                "loss": jnp.mean(jnp.stack(losses)),
+                "psnr": jnp.mean(jnp.stack(psnrs)),
+            }
+            return new_params, cur_state, new_opt_state, metrics
+
+        def build(params, *a, **kw):
+            tx_holder["tx"] = self.tx(params)
+            return step(params, *a, **kw)
+
+        donate_argnums = (0, 1, 2) if donate else ()
+        return jax.jit(build, donate_argnums=donate_argnums)
+
+    def make_eval_step(self):
+        """Per-batch evaluation (SRRunManager.validate, sr_run_manager.py:
+        323-393): MSE loss + PSNR-Y against HR, BN in eval mode."""
+
+        def step(params, state, batch, arch):
+            out, _ = self._forward(params, state, batch, arch, training=False)
+            hr = batch["image"]
+            loss = jnp.mean(jnp.square(out - hr))
+            return {"loss": loss, "psnr": psnr_y_device(out, hr), "output": out}
+
+        return jax.jit(step)

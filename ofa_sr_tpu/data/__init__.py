@@ -1,0 +1,28 @@
+from .transforms import (
+    CenterCrop,
+    Compose,
+    ModCrop,
+    RandomCrop,
+    RandomHorizontalFlip,
+    RandomRotation,
+    Scale,
+    bicubic_downscale_pil,
+    to_numpy,
+)
+from .datasets import PairedImageDataset, SRImageDataset, SyntheticSRDataset
+from .providers import (
+    CodecDecoderProvider,
+    DataProvider,
+    Div2KSetXXProvider,
+    OracleVideoProvider,
+    SyntheticSRProvider,
+)
+
+__all__ = [
+    "CenterCrop", "Compose", "ModCrop", "RandomCrop",
+    "RandomHorizontalFlip", "RandomRotation", "Scale",
+    "bicubic_downscale_pil", "to_numpy",
+    "PairedImageDataset", "SRImageDataset", "SyntheticSRDataset",
+    "CodecDecoderProvider", "DataProvider", "Div2KSetXXProvider",
+    "OracleVideoProvider", "SyntheticSRProvider",
+]

@@ -1,0 +1,158 @@
+"""Data pipeline: transforms, on-device bicubic vs PIL, loader determinism."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from ofa_sr_tpu.data import (
+    Div2KSetXXProvider,
+    ModCrop,
+    SyntheticSRProvider,
+    bicubic_downscale_pil,
+    to_numpy,
+)
+from ofa_sr_tpu.data.bicubic import downscale, resize_bicubic, resize_matrix
+from ofa_sr_tpu.data.datasets import SRImageDataset, list_images
+from ofa_sr_tpu.data.providers import ElasticResolution, Loader
+from ofa_sr_tpu.data.transforms import CenterCrop, Compose, RandomCrop
+
+
+def _make_image_dir(tmp_path, n=6, size=(64, 48)):
+    rng = np.random.RandomState(0)
+    d = tmp_path / "train"
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        arr = (rng.rand(size[1], size[0], 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / ("%04d.png" % i))
+    return str(d)
+
+
+def test_mod_crop():
+    img = Image.new("RGB", (65, 50))
+    out = ModCrop(4)(img)
+    assert out.size == (64, 48)
+
+
+def test_device_bicubic_matches_pil_float_mode():
+    """Against PIL's float ('F'-mode) resample — no uint8 quantization —
+    the device filter must agree to float tolerance: same math."""
+    rng = np.random.RandomState(1)
+    arr = rng.rand(48, 64, 3).astype(np.float32)
+    pil_f = np.stack([
+        np.asarray(Image.fromarray(arr[..., c], mode="F")
+                   .resize((32, 24), Image.BICUBIC))
+        for c in range(3)], axis=-1)
+    dev = np.asarray(resize_bicubic(jnp.asarray(arr), 24, 32))
+    np.testing.assert_allclose(dev, pil_f, rtol=1e-4, atol=1e-5)
+
+
+def test_device_bicubic_uint8_gap_bounded():
+    """Against PIL's uint8 path (what the reference data pipeline uses) the
+    only differences are PIL's per-stage uint8 rounding/clipping: ~1 level
+    interior, a few levels at clipped edges (documented in data/bicubic.py)."""
+    rng = np.random.RandomState(2)
+    arr = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+    img = Image.fromarray(arr)
+    for f in (2, 4):
+        pil_q = to_numpy(bicubic_downscale_pil(img, f))
+        dev_q = np.asarray(downscale(jnp.asarray(to_numpy(img)), f))
+        err = np.abs(dev_q - pil_q)
+        assert err.max() <= 4.0 / 255, err.max()
+        assert err.mean() <= 0.6 / 255, err.mean()
+
+
+def test_resize_matrix_rows_sum_to_one():
+    for in_s, out_s in [(96, 48), (96, 24), (50, 25), (97, 48)]:
+        W = resize_matrix(in_s, out_s)
+        np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=1e-6)
+
+
+def test_sr_dataset_and_loader(tmp_path):
+    root = _make_image_dir(tmp_path)
+    ds = SRImageDataset(root, transform=Compose([RandomCrop(32)]))
+    import random as _r
+    s = ds.__getitem__(0, rng=_r.Random(0))
+    assert s["image"].shape == (32, 32, 3)
+    assert s["x2"].shape == (16, 16, 3)
+    assert s["x4"].shape == (8, 8, 3)
+
+    loader = Loader(ds, batch_size=2, shuffle=True, drop_last=True,
+                    num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 32, 32, 3)
+
+    # determinism: same epoch -> identical batches
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["image"], again[0]["image"])
+    # different epoch -> different order/crops
+    loader.set_epoch(1)
+    other = list(loader)
+    assert not np.array_equal(batches[0]["image"], other[0]["image"])
+
+
+def test_loader_rank_sharding(tmp_path):
+    root = _make_image_dir(tmp_path, n=8)
+    ds = SRImageDataset(root)
+    shards = []
+    for rank in range(2):
+        ld = Loader(ds, batch_size=2, shuffle=True, num_replicas=2, rank=rank,
+                    num_workers=1)
+        idx = ld._epoch_indices()
+        assert len(idx) == 4
+        shards.append(set(idx))
+    assert shards[0] | shards[1] == set(range(8))
+    assert shards[0] & shards[1] == set()
+
+
+def test_div2k_provider(tmp_path):
+    _make_image_dir(tmp_path, n=6)
+    val = tmp_path / "val"
+    val.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        arr = (rng.rand(41, 57, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(val / ("v%d.png" % i))
+
+    p = Div2KSetXXProvider(root=str(tmp_path), image_size=32,
+                           train_batch_size=2, num_workers=1)
+    b = next(iter(p.train))
+    assert b["image"].shape == (2, 32, 32, 3)
+    assert b["x2"].shape == (2, 16, 16, 3)
+    vb = next(iter(p.valid))
+    # ModCrop(4): 41x57 -> 40x56
+    assert vb["image"].shape == (1, 40, 56, 3)
+    sub = p.build_sub_train_loader(n_images=4, batch_size=2)
+    assert sum(x["image"].shape[0] for x in sub) == 4
+
+
+def test_synthetic_provider():
+    p = SyntheticSRProvider(n_train=8, hr_size=32, train_batch_size=4)
+    b = next(iter(p.train))
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["x4"].shape == (4, 8, 8, 3)
+
+
+def test_elastic_resolution_contract():
+    er = ElasticResolution([128, 160, 192, 224], sync_distributed=True)
+    # deterministic across "hosts"
+    a = er.sample(batch_id=17, epoch=3)
+    b = er.sample(batch_id=17, epoch=3)
+    assert a == b
+    sizes = {er.sample(i, 0) for i in range(50)}
+    assert sizes <= {128, 160, 192, 224}
+    assert len(sizes) > 1
+    cont = ElasticResolution([128, 140], continuous=True)
+    assert cont.candidates() == [128, 132, 136, 140]
+
+
+def test_list_images_numeric_sort(tmp_path):
+    d = tmp_path / "frames"
+    d.mkdir()
+    for name in ["10.png", "2.png", "1.png"]:
+        Image.new("RGB", (4, 4)).save(d / name)
+    paths = list_images(str(d), numeric_sort=True)
+    assert [os.path.basename(x) for x in paths] == ["1.png", "2.png", "10.png"]

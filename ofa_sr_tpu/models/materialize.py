@@ -1,0 +1,218 @@
+"""Materialize a static subnet from the supernet weight banks.
+
+This is the deployment path (the reference's `get_active_subnet`,
+dynamic_layers.py:112-154 — note the network-level version on S4/X4 is a
+broken MBV3 leftover, ofa_mbs4.py:373-458; this is the working rebuild):
+slice the active kernel (through the transform chain), the active middle
+channels, and the BN prefix into a concrete small pytree, then jit the true
+small network per config. This path — not masked execution — is what serves
+a chosen architecture at speed-of-light (SURVEY.md §7.0).
+
+`fold_bn=True` folds eval-mode BatchNorm into the preceding conv (exact in
+eval mode): w' = w * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps)
+— one fewer elementwise pass per layer at inference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.activations import apply_act
+from ..ops.conv import conv2d, depthwise_conv2d
+from ..ops.elastic import transform_kernel_chain
+from ..ops.norm import batch_norm
+from ..ops.pixelshuffle import pixel_shuffle, pixel_unshuffle
+from .arch import SearchSpace, SubnetConfig
+
+
+def _slice_bn(bn_p, bn_s, n):
+    return ({k: v[:n] for k, v in bn_p.items()},
+            {k: v[:n] for k, v in bn_s.items()})
+
+
+def _fold_bn_into_conv(w, bn_p, bn_s, eps):
+    """Return (w', bias') folding eval-mode BN into an HWIO conv."""
+    inv = 1.0 / np.sqrt(np.asarray(bn_s["var"]) + eps)
+    g = np.asarray(bn_p["scale"]) * inv
+    w2 = jnp.asarray(np.asarray(w) * g[None, None, None, :])
+    b = jnp.asarray(np.asarray(bn_p["bias"]) - np.asarray(bn_s["mean"]) * g)
+    return w2, b
+
+
+def _materialize_conv_layer(p, s, *, fold_bn, eps):
+    if fold_bn:
+        w, b = _fold_bn_into_conv(p["conv"]["w"], p["bn"], s["bn"], eps)
+        return {"w": w, "b": b}
+    return {"w": p["conv"]["w"], "bn_p": p["bn"], "bn_s": s["bn"]}
+
+
+def _materialize_mbconv(p, s, space: SearchSpace, ks: int, expand, *,
+                        fold_bn, eps):
+    """Slice one DynamicMBConvLayer into static weights (the semantics of
+    dynamic_layers.py:112-154: transform-chain kernel + prefix slices +
+    copy_bn)."""
+    mid = space.mid_channels(expand)
+    out = {"ks": ks, "mid": mid}
+
+    w_ib = p["inverted_bottleneck"]["conv"]["w"][:, :, :, :mid]
+    bn_p, bn_s = _slice_bn(p["inverted_bottleneck"]["bn"],
+                           s["inverted_bottleneck"]["bn"], mid)
+    if fold_bn:
+        w_ib, b_ib = _fold_bn_into_conv(w_ib, bn_p, bn_s, eps)
+        out["ib"] = {"w": w_ib, "b": b_ib}
+    else:
+        out["ib"] = {"w": w_ib, "bn_p": bn_p, "bn_s": bn_s}
+
+    w_dw_full = transform_kernel_chain(
+        p["depth_conv"]["conv"]["w"], p["depth_conv"].get("kt"),
+        space.ks_list, ks, use_transform="kt" in p["depth_conv"])
+    w_dw = w_dw_full[:, :, :, :mid]
+    bn_p, bn_s = _slice_bn(p["depth_conv"]["bn"], s["depth_conv"]["bn"], mid)
+    if fold_bn:
+        w_dw, b_dw = _fold_bn_into_conv(w_dw, bn_p, bn_s, eps)
+        out["dw"] = {"w": w_dw, "b": b_dw}
+    else:
+        out["dw"] = {"w": w_dw, "bn_p": bn_p, "bn_s": bn_s}
+
+    w_pl = p["point_linear"]["conv"]["w"][:, :, :mid, :]
+    if fold_bn:
+        w_pl, b_pl = _fold_bn_into_conv(
+            w_pl, p["point_linear"]["bn"], s["point_linear"]["bn"], eps)
+        out["pl"] = {"w": w_pl, "b": b_pl}
+    else:
+        out["pl"] = {"w": w_pl, "bn_p": p["point_linear"]["bn"],
+                     "bn_s": s["point_linear"]["bn"]}
+    return out
+
+
+class StaticSubnet:
+    """A concrete (non-elastic) SR net sliced out of an OFAMobileNetS4 / the
+    decoder (or encoder+decoder) of an OFAMobileNetX4."""
+
+    def __init__(self, net, params, state, cfg: SubnetConfig, *,
+                 fold_bn: bool = True, mode: str = "sr"):
+        self.space = net.space
+        self.cfg = cfg
+        self.pixel_d = cfg.pixel_d
+        self.fold_bn = fold_bn
+        self.mode = mode
+        self.eps = net.bn_cfg["eps"]
+        self.is_x4 = hasattr(net, "decode")
+
+        sp = net.space
+        fb = dict(fold_bn=fold_bn, eps=self.eps)
+
+        def trunk(blocks_p, blocks_s, base_b, base_s):
+            stages = []
+            for stage in range(sp.n_stages):
+                d = cfg.d[base_s + stage]
+                blocks = []
+                for i in range(d):
+                    bi = stage * sp.max_depth + i
+                    blocks.append(_materialize_mbconv(
+                        blocks_p[bi], blocks_s[bi], sp,
+                        cfg.ks[base_b + stage * sp.max_depth + i],
+                        cfg.e[base_b + stage * sp.max_depth + i], **fb))
+                stages.append(blocks)
+            return stages
+
+        m = {}
+        if self.is_x4 and mode == "autoencoder":
+            m["enc_unshuffle"] = [
+                _materialize_conv_layer(params["enc_unshuffle_blocks"][i],
+                                        state["enc_unshuffle_blocks"][i], **fb)
+                for i in range(self.pixel_d)]
+            m["enc_stages"] = trunk(params["enc_blocks"], state["enc_blocks"], 0, 0)
+            m["enc_final"] = [
+                _materialize_conv_layer(params["enc_final_conv_blocks"][i],
+                                        state["enc_final_conv_blocks"][i], **fb)
+                for i in range(3)]
+
+        dec_blocks_key = "dec_blocks" if self.is_x4 else "blocks"
+        dec_trunk_base_b = self.space.blocks_per_trunk if self.is_x4 else 0
+        dec_trunk_base_s = self.space.n_stages if self.is_x4 else 0
+        m["dec_first"] = _materialize_conv_layer(
+            params["dec_first_conv_block"], state["dec_first_conv_block"], **fb)
+        m["dec_stages"] = trunk(params[dec_blocks_key], state[dec_blocks_key],
+                                dec_trunk_base_b, dec_trunk_base_s)
+        m["dec_final"] = [
+            _materialize_conv_layer(params["dec_final_conv_blocks"][i],
+                                    state["dec_final_conv_blocks"][i], **fb)
+            for i in range(2)]
+        m["shuffle"] = [
+            _materialize_conv_layer(params["shuffle_blocks"][i],
+                                    state["shuffle_blocks"][i], **fb)
+            for i in range(self.pixel_d)]
+        m["dec_out"] = _materialize_conv_layer(
+            params["dec_final_output_conv_block"],
+            state["dec_final_output_conv_block"], **fb)
+        self.params = m
+
+    # -- forward ---------------------------------------------------------------
+
+    def _conv_layer(self, lp, x, *, act=None, shuffle=None):
+        y = conv2d(x, lp["w"])
+        if self.fold_bn:
+            y = y + lp["b"]
+        else:
+            y, _ = batch_norm(y, lp["bn_p"], lp["bn_s"], training=False,
+                              eps=self.eps)
+        if shuffle == "shuffle":
+            y = pixel_shuffle(y, 2)
+        elif shuffle == "unshuffle":
+            y = pixel_unshuffle(y, 2)
+        return apply_act(y, act)
+
+    def _mbconv(self, bp, x):
+        y = conv2d(x, bp["ib"]["w"])
+        y = self._post(bp["ib"], y, act="relu6")
+        y = depthwise_conv2d(y, bp["dw"]["w"])
+        y = self._post(bp["dw"], y, act="relu6")
+        y = conv2d(y, bp["pl"]["w"])
+        y = self._post(bp["pl"], y, act=None)
+        return y
+
+    def _post(self, lp, y, act):
+        if self.fold_bn:
+            y = y + lp["b"]
+        else:
+            y, _ = batch_norm(y, lp["bn_p"], lp["bn_s"], training=False,
+                              eps=self.eps)
+        return apply_act(y, act)
+
+    def __call__(self, x):
+        """params are baked in; x is the LR input ('sr') or HR
+        ('autoencoder'). Jit `subnet(x)` directly — each materialized config
+        is its own small compiled program."""
+        m = self.params
+        if self.is_x4 and self.mode == "autoencoder":
+            for lp in m["enc_unshuffle"]:
+                x = self._conv_layer(lp, x, shuffle="unshuffle")
+            skip = x
+            for stage in m["enc_stages"]:
+                for bp in stage:
+                    x = self._mbconv(bp, x) + x
+            for i, lp in enumerate(m["enc_final"]):
+                x = self._conv_layer(lp, x)
+                if i == 0:
+                    x = x + skip
+        x = self._conv_layer(m["dec_first"], x)
+        skip = x
+        for stage in m["dec_stages"]:
+            for bp in stage:
+                x = self._mbconv(bp, x) + x
+        for i, lp in enumerate(m["dec_final"]):
+            x = self._conv_layer(lp, x)
+            if i == 0:
+                x = x + skip
+        for lp in m["shuffle"]:
+            x = self._conv_layer(lp, x, shuffle="shuffle")
+        return self._conv_layer(m["dec_out"], x)
+
+
+def get_active_subnet(net, params, state, cfg: SubnetConfig, *,
+                      fold_bn: bool = True, mode: str = "sr") -> StaticSubnet:
+    return StaticSubnet(net, params, state, cfg, fold_bn=fold_bn, mode=mode)

@@ -45,7 +45,7 @@ def batch_moments(x):
 
 
 def batch_norm(x, params, state, *, training, momentum=0.1, eps=1e-5,
-               mask=None):
+               mask=None, update_var="unbiased"):
     """Apply BN; returns (y, new_state).
 
     `training=True` -> batch stats + running-stat EMA update (torch train
@@ -60,10 +60,12 @@ def batch_norm(x, params, state, *, training, momentum=0.1, eps=1e-5,
     if training:
         mean, var = batch_moments(x)
         n = x.shape[0] * x.shape[1] * x.shape[2]
-        # torch updates running_var with the *unbiased* batch variance.
-        unbiased = var * (n / max(n - 1, 1))
+        # torch train mode updates running_var with the *unbiased* batch
+        # variance; BN recalibration (set_running_statistics,
+        # elastic_nn/utils.py:32-35) averages the *biased* one.
+        var_for_update = var * (n / max(n - 1, 1)) if update_var == "unbiased" else var
         new_mean = (1 - momentum) * state["mean"] + momentum * mean
-        new_var = (1 - momentum) * state["var"] + momentum * unbiased
+        new_var = (1 - momentum) * state["var"] + momentum * var_for_update
         if mask is not None:
             new_mean = jnp.where(mask > 0, new_mean, state["mean"])
             new_var = jnp.where(mask > 0, new_var, state["var"])

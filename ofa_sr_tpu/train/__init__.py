@@ -1,6 +1,15 @@
 from .schedules import calc_learning_rate, warmup_learning_rate, lr_at_step
 from .optim import make_optimizer, no_decay_mask
 from .train_step import SRTrainer
+from .run_manager import RunConfig, SRRunManager
+from .checkpoint import (
+    import_torch_s4,
+    import_torch_x4,
+    load_checkpoint,
+    save_checkpoint,
+)
+from .bn_recalib import bn_recalibrate
+from .shrink import supporting_elastic, validate_grid
 
 __all__ = [
     "calc_learning_rate",
@@ -9,4 +18,13 @@ __all__ = [
     "make_optimizer",
     "no_decay_mask",
     "SRTrainer",
+    "RunConfig",
+    "SRRunManager",
+    "import_torch_s4",
+    "import_torch_x4",
+    "load_checkpoint",
+    "save_checkpoint",
+    "bn_recalibrate",
+    "supporting_elastic",
+    "validate_grid",
 ]

@@ -1,0 +1,292 @@
+"""Run management: config + the SR training/validation orchestrator.
+
+Replaces RunConfig/RunManager/SRRunManager (run_manager.py:25-494,
+sr_run_manager.py:136-549). One typed config (SURVEY.md §5.6: the
+reference's argparse-namespace + class-static out-of-band config becomes an
+explicit dataclass), one manager that owns params/state/opt_state, the
+compiled steps, checkpointing, and console-file logging.
+
+Differences from the reference, by design:
+- device work is the jitted multi-subnet step (train_step.py); the manager
+  only samples subnets (host, reference seed contract) and feeds batches;
+- PSNR never syncs to host mid-epoch (metrics are device scalars read at
+  log points);
+- 'BN always eval' (sr_run_manager.py:416-423) is cfg.bn_frozen, and
+  validate-without-BN-reset (progressive_shrinking.py:82-83) is
+  cfg.bn_recalib_before_eval=False — real switches, not comment toggles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.arch import SearchSpace, SubnetConfig, max_subnet, sample_subnet, subnet_seed
+from ..utils.common import AverageMeter
+from .bn_recalib import bn_recalibrate
+from .checkpoint import load_checkpoint, save_checkpoint
+from .schedules import lr_at_step
+from .train_step import SRTrainer
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """All run hyperparameters (defaults = the SR supernet scripts,
+    train_ofa_net_sr_simple.py:27-132)."""
+
+    n_epochs: int = 25
+    base_lr: float = 1e-4
+    warmup_epochs: int = 0
+    warmup_lr: float = -1
+    lr_schedule_type: Optional[str] = "cosine"
+
+    opt_type: str = "adam"
+    momentum: float = 0.9
+    nesterov: bool = True
+    weight_decay: float = 3e-5
+    no_decay_keys: Optional[str] = "bn#bias"
+
+    train_batch_size: int = 16
+    test_batch_size: int = 1
+    valid_size: Optional[int] = None
+    validation_frequency: int = 1
+    print_frequency: int = 10
+
+    dynamic_batch_size: int = 1
+    kd_ratio: float = 0.0
+    kd_type: Optional[str] = None
+
+    manual_seed: int = 0
+    model_init: str = "he_fout"
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    mode: str = "sr"                      # 'sr' | 'autoencoder'
+    bn_frozen: bool = False               # SR oracle 'BN always eval'
+    bn_recalib_before_eval: bool = False  # OFA-canonical eval does recalib
+    image_size: int = 96
+
+    @property
+    def config(self):
+        return dataclasses.asdict(self)
+
+
+class SRRunManager:
+    """Owns one training run of an SR supernet (S4 or X4)."""
+
+    def __init__(self, path, net, run_config: RunConfig, provider, *,
+                 teacher=None, init=True):
+        self.path = path
+        self.net = net
+        self.run_config = run_config
+        self.provider = provider
+        os.makedirs(self.logs_path, exist_ok=True)
+        os.makedirs(self.save_path, exist_ok=True)
+
+        self.start_epoch = 0
+        self.best_acc = -1e9  # best mean PSNR ("best_acc" naming kept)
+
+        if init:
+            key = jax.random.PRNGKey(run_config.manual_seed)
+            self.params, self.state = net.init(key)
+
+        teacher_kw = {}
+        if teacher is not None and run_config.kd_ratio > 0:
+            t_net, t_params, t_state, t_cfg = teacher
+            teacher_kw = dict(
+                teacher_params=t_params, teacher_state=t_state,
+                teacher_arch=t_cfg.to_device(t_net.space),
+                teacher_pixel_d=t_cfg.pixel_d)
+            self.trainer = SRTrainer(
+                net, opt_type=run_config.opt_type,
+                weight_decay=run_config.weight_decay,
+                momentum=run_config.momentum, nesterov=run_config.nesterov,
+                kd_ratio=run_config.kd_ratio, mode=run_config.mode,
+                bn_frozen=run_config.bn_frozen, teacher_net=t_net)
+        else:
+            self.trainer = SRTrainer(
+                net, opt_type=run_config.opt_type,
+                weight_decay=run_config.weight_decay,
+                momentum=run_config.momentum, nesterov=run_config.nesterov,
+                mode=run_config.mode, bn_frozen=run_config.bn_frozen)
+        self.opt_state = self.trainer.init_opt_state(self.params)
+        self._train_step = self.trainer.make_train_step(
+            n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)
+        self._eval_step = self.trainer.make_eval_step()
+
+        self._write_net_info()
+
+    # -- paths / logging ------------------------------------------------------
+
+    @property
+    def save_path(self):
+        return os.path.join(self.path, "checkpoint")
+
+    @property
+    def logs_path(self):
+        return os.path.join(self.path, "logs")
+
+    def write_log(self, log_str, prefix="valid", should_print=True):
+        """Append to logs/{valid,train}_console.txt (sr_run_manager.py:232-249)."""
+        fname = {"valid": "valid_console.txt", "test": "valid_console.txt"}.get(
+            prefix, "train_console.txt")
+        with open(os.path.join(self.logs_path, fname), "a") as f:
+            if prefix in ("valid", "test"):
+                f.write("=" * 10 + "\n")
+            f.write(log_str + "\n")
+        if should_print:
+            print(log_str)
+
+    def _write_net_info(self):
+        n_params = sum(int(np.prod(np.shape(l)))
+                       for l in jax.tree.leaves(self.params))
+        info = {"name": type(self.net).__name__, "param_count": n_params,
+                "space": dataclasses.asdict(self.net.space)
+                if dataclasses.is_dataclass(self.net.space) else str(self.net.space)}
+        with open(os.path.join(self.path, "net_info.txt"), "w") as f:
+            f.write(json.dumps(info) + "\n")
+        with open(os.path.join(self.path, "run.config"), "w") as f:
+            json.dump(self.run_config.config, f, indent=2)
+
+    # -- checkpointing ----------------------------------------------------------
+
+    def save_model(self, *, epoch, is_best=False, name=None):
+        return save_checkpoint(
+            self.save_path,
+            {"epoch": epoch, "best_acc": self.best_acc, "params": self.params,
+             "state": self.state, "opt_state": self.opt_state},
+            name=name or "checkpoint.ckpt", is_best=is_best)
+
+    def load_model(self, path=None):
+        """Restore net/optimizer/start_epoch/best_acc; missing file ->
+        train from scratch (run_manager.py:281-307 try/except contract)."""
+        try:
+            tpl = {"epoch": 0, "best_acc": 0.0, "params": self.params,
+                   "state": self.state, "opt_state": self.opt_state}
+            ckpt = load_checkpoint(path or self.save_path, template=tpl)
+            self.params = ckpt["params"]
+            self.state = ckpt["state"]
+            self.opt_state = ckpt["opt_state"]
+            self.start_epoch = int(ckpt.get("epoch", -1)) + 1
+            self.best_acc = float(ckpt.get("best_acc", -1e9))
+            self.write_log("=> loaded checkpoint (epoch %d)" % self.start_epoch,
+                           "valid")
+        except (FileNotFoundError, KeyError) as e:
+            self.write_log("fail to load checkpoint: %s" % e, "valid")
+
+    def load_weights(self, path):
+        """Warm-start weights only (the load_models -> load_weights_from_net
+        path, progressive_shrinking.py:257-263)."""
+        tpl = {"epoch": 0, "best_acc": 0.0, "params": self.params,
+               "state": self.state, "opt_state": self.opt_state}
+        ckpt = load_checkpoint(path, template=tpl)
+        self.params, self.state = ckpt["params"], ckpt["state"]
+
+    # -- subnet sampling (host, reference seed contract) -------------------------
+
+    def sample_archs(self, epoch, n_batch, batch_idx, constraints=None):
+        sp = self.net.space
+        cons = constraints or {}
+        archs, descs = [], []
+        for k in range(self.run_config.dynamic_batch_size):
+            seed = subnet_seed(epoch, n_batch, batch_idx, k)
+            cfg = sample_subnet(sp, seed=seed, n_trunks=self.net.n_trunks,
+                                **cons)
+            archs.append(cfg.to_device(sp))
+            descs.append(cfg)
+        return tuple(archs), descs
+
+    # -- train / validate ---------------------------------------------------------
+
+    def train_one_epoch(self, epoch, constraints=None):
+        rc = self.run_config
+        loader = self.provider.train
+        loader.set_epoch(epoch)
+        n_batch = len(loader)
+        losses, psnrs = AverageMeter(), AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            lr = lr_at_step(rc.base_lr, epoch, i, n_batch, rc.n_epochs,
+                            warmup_epochs=rc.warmup_epochs,
+                            warmup_lr=rc.warmup_lr,
+                            lr_schedule_type=rc.lr_schedule_type)
+            archs, descs = self.sample_archs(epoch, n_batch, i, constraints)
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.params, self.state, self.opt_state, metrics = self._train_step(
+                self.params, self.state, self.opt_state, dev_batch, archs,
+                jnp.asarray(lr, jnp.float32))
+            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
+                l, p = float(metrics["loss"]), float(metrics["psnr"])
+                losses.update(l, batch["image"].shape[0])
+                psnrs.update(p, batch["image"].shape[0])
+                self.write_log(
+                    "Train [%d][%d/%d]\tloss %.5f\tpsnr %.3f\tlr %.3g\t%s\t%.1fs"
+                    % (epoch + 1, i + 1, n_batch, l, p, lr,
+                       descs[0].describe()[:48], time.time() - t0),
+                    prefix="train", should_print=False)
+        return losses.avg, psnrs.avg
+
+    def validate(self, cfg: Optional[SubnetConfig] = None, loader=None,
+                 recalib_loader=None):
+        """Mean loss/PSNR over the loader for one subnet config
+        (SRRunManager.validate, sr_run_manager.py:323-393). When
+        cfg.bn_recalib_before_eval, running stats are recalibrated first
+        (the canonical OFA deployment eval, eval_ofa_net.py:58-79)."""
+        rc = self.run_config
+        sp = self.net.space
+        cfg = cfg or max_subnet(sp, self.net.n_trunks)
+        loader = loader if loader is not None else self.provider.test
+        state = self.state
+        if rc.bn_recalib_before_eval and recalib_loader is not None:
+            state = bn_recalibrate(
+                self.net, self.params, self.state, cfg.to_device(sp),
+                cfg.pixel_d, recalib_loader,
+                mode=rc.mode if rc.mode == "autoencoder" else None)
+        losses, psnrs = AverageMeter(), AverageMeter()
+        arch = cfg.to_device(sp)
+        for batch in loader:
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            out = self._eval_step(self.params, state, dev_batch, arch)
+            n = batch["image"].shape[0]
+            losses.update(float(out["loss"]), n)
+            psnrs.update(float(out["psnr"]), n)
+        return losses.avg, psnrs.avg
+
+    def train(self, validate_cfgs: Optional[Sequence[SubnetConfig]] = None,
+              constraints=None):
+        """Epoch loop + periodic validation + best-checkpoint gating
+        (sr_run_manager.py:516-541 / progressive_shrinking.py:227-254)."""
+        rc = self.run_config
+        for epoch in range(self.start_epoch, rc.n_epochs + rc.warmup_epochs):
+            t0 = time.time()
+            tr_loss, tr_psnr = self.train_one_epoch(epoch, constraints)
+            log = "Epoch %d: train loss %.5f, psnr %.3f (%.1fs)" % (
+                epoch + 1, tr_loss, tr_psnr, time.time() - t0)
+            if (epoch + 1) % rc.validation_frequency == 0:
+                cfgs = validate_cfgs or [None]
+                vals = [self.validate(c) for c in cfgs]
+                mean_psnr = float(np.mean([v[1] for v in vals]))
+                is_best = mean_psnr > self.best_acc
+                self.best_acc = max(self.best_acc, mean_psnr)
+                log += " | valid psnr %.3f (best %.3f)" % (mean_psnr, self.best_acc)
+                self.write_log(log, "valid")
+                self.save_model(epoch=epoch, is_best=is_best)
+            else:
+                self.write_log(log, "train")
+                self.save_model(epoch=epoch)
+        return self.best_acc
+
+    def reset_running_statistics(self, cfg: SubnetConfig, n_images=2000,
+                                 batch_size=100):
+        """RunManager.reset_running_statistics (run_manager.py:489-494)."""
+        loader = self.provider.build_sub_train_loader(n_images, batch_size)
+        self.state = bn_recalibrate(
+            self.net, self.params, self.state, cfg.to_device(self.net.space),
+            cfg.pixel_d, loader)

@@ -1,0 +1,150 @@
+"""Progressive-shrinking orchestration (SURVEY.md §2.3 L6).
+
+Reference: ofa/elastic_nn/training/progressive_shrinking.py — the validate
+grid (:24-91), and the supporting_elastic_{depth,expand,pixelshuffle_depth}
+stage machines (:266-461): load a prior-phase checkpoint, walk shrink stages
+largest->smallest under `set_constraint`, retrain, persist a `<task>.stage`
+JSON so the curriculum resumes at stage granularity (SURVEY.md §5.3).
+
+Here constraints are plain candidate lists handed to the sampler, the stage
+state is the same JSON file, and `re_organize_middle_weights` runs before
+and between expand stages (progressive_shrinking.py:356,388) as a pure
+pytree transform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..models.arch import uniform_subnet
+from ..models.reorganize import reorganize_s4, reorganize_x4
+from .run_manager import SRRunManager
+
+
+def validate_grid(run_manager: SRRunManager, *, ks_list=None, expand_list=None,
+                  depth_list=None, pixel_d_list=None, loader=None):
+    """Cartesian grid of uniform subnet settings, each validated
+    (progressive_shrinking.py:45-91). Returns (mean_loss, mean_psnr, log)."""
+    sp = run_manager.net.space
+    ks_list = ks_list or sp.ks_list
+    expand_list = expand_list or sp.expand_list
+    depth_list = depth_list or sp.depth_list
+    pixel_d_list = pixel_d_list or sp.pixel_d_list
+
+    losses, psnrs, log = [], [], ""
+    for pd in pixel_d_list:
+        for d in depth_list:
+            for e in expand_list:
+                for k in ks_list:
+                    name = "PD%s-D%s-E%s-K%s" % (pd, d, e, k)
+                    cfg = uniform_subnet(sp, k, e, d, pd,
+                                         n_trunks=run_manager.net.n_trunks)
+                    loss, psnr = run_manager.validate(cfg, loader=loader)
+                    losses.append(loss)
+                    psnrs.append(psnr)
+                    log += "%s (%.3f), " % (name, psnr)
+    return float(np.mean(losses)), float(np.mean(psnrs)), log
+
+
+def _stage_file(run_manager, task):
+    return os.path.join(run_manager.path, "%s.stage" % task)
+
+
+def load_stage_info(run_manager, task):
+    try:
+        with open(_stage_file(run_manager, task)) as f:
+            return json.load(f)
+    except Exception:
+        return {"stage": 0}
+
+
+def save_stage_info(run_manager, task, info):
+    with open(_stage_file(run_manager, task), "w") as f:
+        json.dump(info, f, indent=4)
+
+
+def _min_max(vals):
+    return sorted({min(vals), max(vals)})
+
+
+def supporting_elastic(run_manager: SRRunManager, task: str, *,
+                       warmstart_path: Optional[str] = None,
+                       validate_lists: Optional[dict] = None):
+    """Generic stage machine for task in
+    {'kernel', 'depth', 'expand', 'pixelshuffle_depth'}.
+
+    kernel: single stage training the full ks list (the script's plain
+    train(), train_ofa_net_sr_simple.py:236-246). depth/expand/
+    pixelshuffle_depth: walk candidate prefixes largest->smallest; expand
+    reorganizes middle channels before each stage
+    (progressive_shrinking.py:356,388).
+    """
+    sp = run_manager.net.space
+    vl = dict(validate_lists or {})
+
+    if warmstart_path is not None and os.path.exists(
+            warmstart_path if os.path.isfile(warmstart_path)
+            else os.path.join(warmstart_path, "latest.txt")):
+        run_manager.load_weights(warmstart_path)
+        loss, psnr, log = validate_grid(run_manager, **vl)
+        run_manager.write_log("warmstart: %.3f\t%.3f\t%s" % (loss, psnr, log), "valid")
+
+    if task == "kernel":
+        best = run_manager.train()
+        save_stage_info(run_manager, task, {"stage": 1})
+        return best
+
+    dim_lists = {
+        "depth": sorted(sp.depth_list, reverse=True),
+        "expand": sorted(sp.expand_list, reverse=True),
+        "pixelshuffle_depth": sorted(sp.pixel_d_list, reverse=True),
+    }
+    stage_list = dim_lists[task]
+    n_stages = len(stage_list) - 1
+    info = load_stage_info(run_manager, task)
+    start_stage = int(info.get("stage", 0))
+
+    is_x4 = run_manager.net.n_trunks == 2
+    best = -1e9
+    for current_stage in range(start_stage, n_stages):
+        supported = stage_list[:current_stage + 2]
+        run_manager.write_log(
+            "-" * 30 + " Elastic %s: %s -> %s " %
+            (task, stage_list[:current_stage + 1], supported) + "-" * 30,
+            "valid")
+
+        if task == "expand":
+            reorg = reorganize_x4 if is_x4 else reorganize_s4
+            run_manager.params, run_manager.state = reorg(
+                run_manager.params, run_manager.state, sp,
+                expand_ratio_stage=current_stage + 1)
+
+        constraints = {}
+        if task == "depth":
+            constraints["depth_candidates"] = supported
+            vl["depth_list"] = (_min_max(supported)
+                                if len(sp.ks_list) > 1 or len(sp.expand_list) > 1
+                                else sorted(supported))
+        elif task == "expand":
+            constraints["expand_candidates"] = supported
+            vl["expand_list"] = _min_max(supported)
+        else:
+            constraints["pixel_d_candidates"] = supported
+            vl["pixel_d_list"] = sorted(supported)
+
+        run_manager.start_epoch = 0
+        run_manager.best_acc = -1e9
+        best = run_manager.train(constraints=constraints)
+
+        info["stage"] = current_stage + 1
+        run_manager.save_model(epoch=run_manager.run_config.n_epochs - 1,
+                               name="%s_stage%d.ckpt" % (task, info["stage"]))
+        save_stage_info(run_manager, task, info)
+        loss, psnr, log = validate_grid(run_manager, **vl)
+        run_manager.write_log("stage %d: %.3f\t%.3f\t%s"
+                              % (info["stage"], loss, psnr, log), "valid")
+    return best

@@ -1,0 +1,65 @@
+"""Materialized static subnet == masked supernet (eval mode), the deployment
+parity the reference's broken get_active_subnet never had."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace, sample_subnet
+from ofa_sr_tpu.models.materialize import get_active_subnet
+
+SMALL = SearchSpace(ks_list=[3, 5], expand_list=[2, 3], depth_list=[1, 2],
+                    pixel_d_list=[1, 2], n_stages=2, width=8)
+
+
+def _x(b, h, w, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).rand(b, h, w, 3).astype(np.float32))
+
+
+def test_s4_materialized_matches_masked_eval():
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(0))
+    for seed in range(3):
+        cfg = sample_subnet(SMALL, seed=seed)
+        x = _x(2, 12, 12, seed)
+        y_super, _ = net.apply(p, s, x, cfg.to_device(SMALL),
+                               pixel_d=cfg.pixel_d, training=False)
+        for fold in (True, False):
+            sub = get_active_subnet(net, p, s, cfg, fold_bn=fold)
+            y_sub = sub(x)
+            np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_super),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_x4_materialized_autoencoder_matches():
+    net = OFAMobileNetX4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(1))
+    cfg = sample_subnet(SMALL, seed=7, n_trunks=2)
+    x = _x(1, 16, 16, 1)
+    y_super, _ = net.apply(p, s, x, cfg.to_device(SMALL),
+                           pixel_d=cfg.pixel_d, mode="autoencoder",
+                           training=False)
+    sub = get_active_subnet(net, p, s, cfg, mode="autoencoder")
+    np.testing.assert_allclose(np.asarray(sub(x)), np.asarray(y_super),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_x4_materialized_sr_mode_matches():
+    net = OFAMobileNetX4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(2))
+    cfg = sample_subnet(SMALL, seed=9, n_trunks=2)
+    x = _x(1, 8, 8, 2)
+    y_super, _ = net.apply(p, s, x, cfg.to_device(SMALL),
+                           pixel_d=cfg.pixel_d, mode="sr", training=False)
+    sub = get_active_subnet(net, p, s, cfg, mode="sr")
+    np.testing.assert_allclose(np.asarray(sub(x)), np.asarray(y_super),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_materialized_is_jittable():
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(3))
+    cfg = sample_subnet(SMALL, seed=11)
+    sub = get_active_subnet(net, p, s, cfg)
+    y = jax.jit(sub)(_x(1, 8, 8))
+    assert y.shape == (1, 8 * 2 ** cfg.pixel_d, 8 * 2 ** cfg.pixel_d, 3)

@@ -1,0 +1,59 @@
+"""Shared CLI plumbing for the entry points (SURVEY.md §2.6).
+
+The reference hardcodes every hyperparameter as args.* in each script body
+with only --task/--phase on the CLI; here each script exposes the same
+preset as defaults and lets any of them be overridden. `--synthetic` swaps
+the dataset for the synthetic provider so every entry point is runnable
+without the DIV2K/UVG trees."""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+
+def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
+                    base_lr, warmup_epochs=0, batch_size=16, image_size=96):
+    parser.add_argument("--path", type=str, default=path)
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use the synthetic dataset (no image tree needed)")
+    parser.add_argument("--n_epochs", type=int, default=n_epochs)
+    parser.add_argument("--base_lr", type=float, default=base_lr)
+    parser.add_argument("--warmup_epochs", type=int, default=warmup_epochs)
+    parser.add_argument("--warmup_lr", type=float, default=-1)
+    parser.add_argument("--base_batch_size", type=int, default=batch_size)
+    parser.add_argument("--image_size", type=int, default=image_size)
+    parser.add_argument("--opt_type", type=str, default="adam")
+    parser.add_argument("--weight_decay", type=float, default=3e-5)
+    parser.add_argument("--manual_seed", type=int, default=0)
+    parser.add_argument("--validation_frequency", type=int, default=1)
+    parser.add_argument("--print_frequency", type=int, default=10)
+    parser.add_argument("--n_worker", type=int, default=8)
+    parser.add_argument("--bn_momentum", type=float, default=0.1)
+    parser.add_argument("--bn_eps", type=float, default=1e-5)
+    parser.add_argument("--dy_conv_scaling_mode", type=int, default=1,
+                        help="1: learned kernel-transform matrices; 0: plain slice")
+    parser.add_argument("--kd_ratio", type=float, default=0.0)
+    parser.add_argument("--dynamic_batch_size", type=int, default=1)
+    return parser
+
+
+def set_seeds(seed: int):
+    """Reference preamble (train_*_sr_simple.py:144-154)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def make_sr_provider(args, provider_cls, **kw):
+    from ..data import SyntheticSRProvider
+    if args.synthetic:
+        return SyntheticSRProvider(
+            n_train=64, n_valid=4, hr_size=args.image_size,
+            train_batch_size=args.base_batch_size)
+    return provider_cls(root=args.data_root,
+                        image_size=args.image_size,
+                        train_batch_size=args.base_batch_size,
+                        num_workers=args.n_worker, **kw)

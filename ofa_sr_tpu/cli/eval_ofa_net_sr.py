@@ -1,0 +1,92 @@
+"""Evaluate a subnet of a trained SR supernet.
+
+Mirrors /root/reference/eval_ofa_net_sr.py: load a checkpoint, pick a subnet
+(default ks=7, e=6, d=2, pixel_d=2, :218-220), validate frame by frame at
+batch 1 with PSNR-Y. Adds the canonical OFA deployment options the SR
+reference disabled: --materialize (jit the sliced static subnet,
+eval_ofa_net.py:58-79) and --bn_recalib.
+
+Run: python -m ofa_sr_tpu.cli.eval_ofa_net_sr --checkpoint <dir> [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import Div2KSetXXProvider, OracleVideoProvider
+from ..models import OFAMobileNetS4, SearchSpace
+from ..models.arch import uniform_subnet
+from ..models.materialize import get_active_subnet
+from ..train import RunConfig, SRRunManager
+from ..utils.metrics import psnr_y_device
+from .common import add_common_args, make_sr_provider, set_seeds
+
+
+def build_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p, path="exp/sr/eval", n_epochs=1, base_lr=1e-4,
+                    batch_size=1, image_size=720)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="oracle_video",
+                   choices=["oracle_video", "div2k"])
+    p.add_argument("--ks", type=int, default=7)
+    p.add_argument("--expand", type=int, default=6)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--pixel_d", type=int, default=2)
+    p.add_argument("--materialize", action="store_true",
+                   help="slice + jit the static subnet (deployment path)")
+    p.add_argument("--bn_recalib", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = build_args(argv)
+    set_seeds(args.manual_seed)
+
+    space = SearchSpace()
+    net = OFAMobileNetS4(space, use_transform=args.dy_conv_scaling_mode == 1)
+    provider_cls = (OracleVideoProvider if args.dataset == "oracle_video"
+                    else Div2KSetXXProvider)
+    provider = make_sr_provider(args, provider_cls)
+    cfg = RunConfig(test_batch_size=1, image_size=args.image_size,
+                    bn_recalib_before_eval=args.bn_recalib)
+    rm = SRRunManager(args.path, net, cfg, provider)
+    if args.checkpoint:
+        rm.load_weights(args.checkpoint)
+
+    sub_cfg = uniform_subnet(space, args.ks, args.expand, args.depth,
+                             args.pixel_d)
+    if args.bn_recalib:
+        rm.reset_running_statistics(sub_cfg, n_images=64, batch_size=16)
+
+    if args.materialize:
+        subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg)
+        jsub = jax.jit(subnet)
+        key = "x%d" % (2 ** sub_cfg.pixel_d)
+        psnrs, times = [], []
+        for batch in provider.test:
+            x = jnp.asarray(batch[key])
+            t0 = time.perf_counter()
+            out = jsub(x)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+            psnrs.append(float(psnr_y_device(out, jnp.asarray(batch["image"]))))
+        # first time includes compile
+        fps = len(times[1:]) / sum(times[1:]) if len(times) > 1 else 0.0
+        rm.write_log("materialized subnet: psnr %.3f  %.1f frames/s"
+                     % (float(np.mean(psnrs)), fps), "valid")
+        return float(np.mean(psnrs))
+
+    loss, psnr = rm.validate(sub_cfg)
+    rm.write_log("eval %s: loss %.5f psnr %.3f"
+                 % (sub_cfg.describe()[:60], loss, psnr), "valid")
+    return psnr
+
+
+if __name__ == "__main__":
+    main()

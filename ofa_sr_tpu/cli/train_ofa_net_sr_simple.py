@@ -1,0 +1,114 @@
+"""SR supernet progressive shrinking.
+
+Mirrors /root/reference/train_ofa_net_sr_simple.py: an OFAMobileNetX4
+supernet shrunk task by task — kernel -> depth(p1,p2) -> expand(p1,p2) ->
+pixelshuffle_depth — each warm-starting from the previous task's best
+checkpoint; per-task hyperparameters from the script's phase table (:28-93).
+
+Run: python -m ofa_sr_tpu.cli.train_ofa_net_sr_simple \
+       --task pixelshuffle_depth --phase 2 [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..data import Div2KSetXXProvider
+from ..models import OFAMobileNetX4, SearchSpace
+from ..train import RunConfig, SRRunManager
+from ..train.shrink import supporting_elastic
+from .common import add_common_args, make_sr_provider, set_seeds
+
+# the reference phase table (train_ofa_net_sr_simple.py:28-93)
+TASK_PHASES = {
+    ("kernel", 1): dict(path="exp/sr/normal2kernel", dynamic_batch_size=1,
+                        n_epochs=120, base_lr=3e-2, warmup_epochs=5,
+                        ks_list=[3, 5, 7], expand_list=[6], depth_list=[4],
+                        pixel_d_list=[2]),
+    ("depth", 1): dict(path="exp/sr/kernel2kernel_depth/phase1",
+                       dynamic_batch_size=2, n_epochs=25, base_lr=2.5e-3,
+                       warmup_epochs=0, ks_list=[3, 5, 7], expand_list=[6],
+                       depth_list=[3, 4], pixel_d_list=[2]),
+    ("depth", 2): dict(path="exp/sr/kernel2kernel_depth/phase2",
+                       dynamic_batch_size=2, n_epochs=120, base_lr=7.5e-3,
+                       warmup_epochs=5, ks_list=[3, 5, 7], expand_list=[6],
+                       depth_list=[2, 3, 4], pixel_d_list=[2]),
+    ("expand", 1): dict(path="exp/sr/kernel_depth2kernel_depth_width/phase1",
+                        dynamic_batch_size=4, n_epochs=25, base_lr=2.5e-3,
+                        warmup_epochs=0, ks_list=[3, 5, 7], expand_list=[4, 6],
+                        depth_list=[2, 3, 4], pixel_d_list=[2]),
+    ("expand", 2): dict(path="exp/sr/kernel_depth2kernel_depth_width/phase2",
+                        dynamic_batch_size=4, n_epochs=120, base_lr=7.5e-3,
+                        warmup_epochs=5, ks_list=[3, 5, 7],
+                        expand_list=[3, 4, 6], depth_list=[2, 3, 4],
+                        pixel_d_list=[2]),
+    ("pixelshuffle_depth", 1): dict(
+        path="exp/sr/sr_bn_mse_4xLarge2pixelShuffle", dynamic_batch_size=1,
+        n_epochs=25, base_lr=1e-4, warmup_epochs=5, ks_list=[7],
+        expand_list=[6], depth_list=[4], pixel_d_list=[1, 2]),
+}
+TASK_PHASES[("pixelshuffle_depth", 2)] = TASK_PHASES[("pixelshuffle_depth", 1)]
+
+
+def build_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", type=str, default="pixelshuffle_depth",
+                   choices=["kernel", "depth", "expand", "pixelshuffle_depth"])
+    p.add_argument("--phase", type=int, default=2, choices=[1, 2])
+    p.add_argument("--warmstart", type=str, default=None,
+                   help="checkpoint dir/file of the previous task's best")
+    p.add_argument("--mode", type=str, default="sr",
+                   choices=["sr", "autoencoder"],
+                   help="sr: decoder-only on bicubic LR (the README config); "
+                        "autoencoder: learned downscale + SR")
+    add_common_args(p, path=None, n_epochs=None, base_lr=None, batch_size=16)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = build_args(argv)
+    preset = TASK_PHASES[(args.task, args.phase)]
+    for key in ("path", "n_epochs", "base_lr", "warmup_epochs",
+                "dynamic_batch_size"):
+        if getattr(args, key, None) is None:
+            setattr(args, key, preset[key])
+    set_seeds(args.manual_seed)
+
+    space = SearchSpace(ks_list=preset["ks_list"],
+                        expand_list=preset["expand_list"],
+                        depth_list=preset["depth_list"],
+                        pixel_d_list=preset["pixel_d_list"])
+    net = OFAMobileNetX4(space, bn_momentum=args.bn_momentum,
+                         bn_eps=args.bn_eps,
+                         use_transform=args.dy_conv_scaling_mode == 1)
+    provider = make_sr_provider(args, Div2KSetXXProvider)
+    cfg = RunConfig(
+        n_epochs=args.n_epochs, base_lr=args.base_lr,
+        warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+        opt_type=args.opt_type, weight_decay=args.weight_decay,
+        train_batch_size=args.base_batch_size,
+        dynamic_batch_size=args.dynamic_batch_size,
+        validation_frequency=args.validation_frequency,
+        print_frequency=args.print_frequency, kd_ratio=args.kd_ratio,
+        manual_seed=args.manual_seed, mode=args.mode,
+        bn_momentum=args.bn_momentum, bn_eps=args.bn_eps,
+        image_size=args.image_size)
+    rm = SRRunManager(args.path, net, cfg, provider)
+
+    # eval grid pinned to min/max of each dimension
+    # (train_ofa_net_sr_simple.py:227-232)
+    validate_lists = {
+        "ks_list": sorted({min(space.ks_list), max(space.ks_list)}),
+        "expand_list": sorted({min(space.expand_list), max(space.expand_list)}),
+        "depth_list": sorted({min(space.depth_list), max(space.depth_list)}),
+        "pixel_d_list": sorted(space.pixel_d_list),
+    }
+    best = supporting_elastic(rm, args.task, warmstart_path=args.warmstart,
+                              validate_lists=validate_lists)
+    rm.write_log("task %s phase %d done: best psnr %.3f"
+                 % (args.task, args.phase, best), "valid")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Train the 2x SR teacher on DIV2K patches.
+
+Mirrors /root/reference/train_teacher_net_sr_simple.py: an OFAMobileNetS4
+with singleton elastic lists (ks=5, e=3, d=2, pixel_d=1 — effectively a
+static net), Adam 1e-3 cosine with 5 warmup epochs, batch 16, 96px crops,
+100 epochs, MSE loss, PSNR-Y validation at batch 1 (script args at :79-116).
+
+Run: python -m ofa_sr_tpu.cli.train_teacher_net_sr_simple [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..data import Div2KSetXXProvider
+from ..models import OFAMobileNetS4, SearchSpace
+from ..train import RunConfig, SRRunManager
+from .common import add_common_args, make_sr_provider, set_seeds
+
+
+def build_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p, path="exp/sr/teacher", n_epochs=100, base_lr=1e-3,
+                    warmup_epochs=5)
+    p.add_argument("--ks", type=int, default=5)
+    p.add_argument("--expand", type=int, default=3)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--pixel_d", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = build_args(argv)
+    set_seeds(args.manual_seed)
+
+    space = SearchSpace(ks_list=[args.ks], expand_list=[args.expand],
+                        depth_list=[args.depth], pixel_d_list=[args.pixel_d])
+    net = OFAMobileNetS4(space, bn_momentum=args.bn_momentum,
+                         bn_eps=args.bn_eps,
+                         use_transform=args.dy_conv_scaling_mode == 1)
+    provider = make_sr_provider(args, Div2KSetXXProvider)
+    cfg = RunConfig(
+        n_epochs=args.n_epochs, base_lr=args.base_lr,
+        warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+        opt_type=args.opt_type, weight_decay=args.weight_decay,
+        train_batch_size=args.base_batch_size,
+        validation_frequency=args.validation_frequency,
+        print_frequency=args.print_frequency,
+        manual_seed=args.manual_seed, bn_momentum=args.bn_momentum,
+        bn_eps=args.bn_eps, image_size=args.image_size)
+    rm = SRRunManager(args.path, net, cfg, provider)
+    rm.load_model()  # resume if a checkpoint exists
+    best = rm.train()
+    rm.write_log("teacher done: best psnr %.3f" % best, "valid")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -61,15 +61,21 @@ def conv_layer_apply(p, s, x, *, act=None, training=False, bn_cfg=None,
 # Elastic MBConv block (DynamicMBConvLayer, dynamic_layers.py:14-111)
 # ---------------------------------------------------------------------------
 
-def mbconv_init(key, space: SearchSpace, dtype=jnp.float32, use_transform=True):
-    """Weight banks at max shape: 1x1 (C -> max_mid), depthwise
-    (max_ks, max_mid), 1x1 (max_mid -> C), plus kernel-transform matrices."""
-    c = space.width
-    mid = space.max_mid
-    k_ib, k_dw, k_pl = jax.random.split(key, 3)
+def mbconv_init(key, space: SearchSpace, dtype=jnp.float32, use_transform=True,
+                in_ch=None, out_ch=None, use_se=False, max_expand=None):
+    """Weight banks at max shape: 1x1 (in -> max_mid), depthwise
+    (max_ks, max_mid), 1x1 (max_mid -> out), plus kernel-transform matrices
+    and (for the classification nets) SE reduce/expand convs with bias
+    (SEModule, ofa/utils.py:355-371; DynamicSE, dynamic_op.py:175-200)."""
+    from ..utils.common import make_divisible
+    c_in = in_ch if in_ch is not None else space.width
+    c_out = out_ch if out_ch is not None else space.width
+    me = max_expand if max_expand is not None else space.max_expand
+    mid = round(c_in * me)
+    k_ib, k_dw, k_pl, k_se1, k_se2 = jax.random.split(key, 5)
     p = {
         "inverted_bottleneck": {
-            "conv": {"w": conv_init(k_ib, 1, c, mid, dtype)},
+            "conv": {"w": conv_init(k_ib, 1, c_in, mid, dtype)},
             "bn": None,
         },
         "depth_conv": {
@@ -77,34 +83,47 @@ def mbconv_init(key, space: SearchSpace, dtype=jnp.float32, use_transform=True):
             "bn": None,
         },
         "point_linear": {
-            "conv": {"w": conv_init(k_pl, 1, mid, c, dtype)},
+            "conv": {"w": conv_init(k_pl, 1, mid, c_out, dtype)},
             "bn": None,
         },
     }
-    s = {}
     p["inverted_bottleneck"]["bn"], s_ib = bn_init(mid, dtype)
     p["depth_conv"]["bn"], s_dw = bn_init(mid, dtype)
-    p["point_linear"]["bn"], s_pl = bn_init(c, dtype)
+    p["point_linear"]["bn"], s_pl = bn_init(c_out, dtype)
     if use_transform and len(space.ks_list) > 1:
         p["depth_conv"]["kt"] = transform_matrices_init(space.ks_list, dtype)
+    if use_se:
+        se_mid = make_divisible(mid // 4, 8)
+        p["se"] = {
+            "reduce": {"w": conv_init(k_se1, 1, mid, se_mid, dtype),
+                       "b": jnp.zeros((se_mid,), dtype)},
+            "expand": {"w": conv_init(k_se2, 1, se_mid, mid, dtype),
+                       "b": jnp.zeros((mid,), dtype)},
+        }
     s = {"inverted_bottleneck": {"bn": s_ib}, "depth_conv": {"bn": s_dw},
          "point_linear": {"bn": s_pl}}
     return p, s
 
 
 def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
-                 act="relu6", training=False, bn_cfg=None):
+                 act="relu6", training=False, bn_cfg=None, stride=1,
+                 se_mid=None):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
-    is the active middle width (both traced int32 scalars).
+    is the active middle width (both traced int32 scalars); `se_mid` the
+    active SE bottleneck width when the block has squeeze-excite.
 
     Numerically identical to the reference's sliced execution
     (dynamic_layers.py:70-84): masking the bottleneck output zeroes the
     inactive channel suffix, so the depthwise and point-linear convs see
     exactly the sliced computation; BN statistics over active channels are
-    unaffected by zeroed inactive channels (ops/norm.py).
+    unaffected by zeroed inactive channels (ops/norm.py). SE equivalence:
+    the reduce output is masked to se_mid, so expand sees only active
+    contributions; inactive mid channels of x are zero so the h_sigmoid gate
+    on them is irrelevant (DynamicSE, dynamic_op.py:175-200).
     """
     bn_cfg = bn_cfg or {}
-    mask = channel_mask(mid, space.max_mid, x.dtype)
+    max_mid = p["depth_conv"]["conv"]["w"].shape[-1]
+    mask = channel_mask(mid, max_mid, x.dtype)
     new_s = {}
 
     # inverted bottleneck 1x1 (+BN, act)
@@ -124,11 +143,22 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
         use_transform=use_t,
     )
     w_dw = select_kernel(cands, ks_idx)
-    y = depthwise_conv2d(y, w_dw)
+    y = depthwise_conv2d(y, w_dw, stride=stride)
     y, bn_dw = batch_norm(y, p["depth_conv"]["bn"], s["depth_conv"]["bn"],
                           training=training, mask=mask, **bn_cfg)
     y = apply_act(y, act)
     new_s["depth_conv"] = {"bn": bn_dw}
+
+    if "se" in p:
+        from ..ops.activations import h_sigmoid
+        se = p["se"]
+        se_max = se["reduce"]["w"].shape[-1]
+        se_mask = channel_mask(se_mid, se_max, y.dtype)
+        g = jnp.mean(y, axis=(1, 2), keepdims=True)
+        g = conv2d(g, se["reduce"]["w"]) + se["reduce"]["b"]
+        g = jnp.maximum(g * se_mask, 0)
+        g = conv2d(g, se["expand"]["w"]) + se["expand"]["b"]
+        y = y * h_sigmoid(g) * mask
 
     # point linear 1x1 (+BN, no act)
     y = conv2d(y, p["point_linear"]["conv"]["w"])

@@ -47,11 +47,12 @@ def bn_recalibrate(net, params, state, arch, pixel_d, batches, *,
     calib_net.bn_cfg = dict(net.bn_cfg, momentum=1.0, update_var="biased")
 
     kw = {"mode": mode} if mode is not None else {}
+    if pixel_d is not None:
+        kw["pixel_d"] = pixel_d  # SR nets; classification nets take no pixel_d
 
     @jax.jit
     def one_batch(p, st, x):
-        _, new_state = calib_net.apply(p, st, x, arch, pixel_d=pixel_d,
-                                       training=True, **kw)
+        _, new_state = calib_net.apply(p, st, x, arch, training=True, **kw)
         return new_state
 
     st0 = jax.tree_util.tree_map_with_path(

@@ -1,0 +1,185 @@
+"""Classification run manager — RunManager/DistributedRunManager equivalents
+(run_manager.py:136-494, distributed_run_manager.py:28-353).
+
+The distributed manager collapses into the same class: run the jitted step
+with batches sharded over a mesh (parallel/mesh.py) and the gradient
+all-reduce, metric averaging, and BN-stat reduction all come from XLA; what
+remains of Horovod's machinery is rank-0-only logging/checkpointing, which
+`is_root` covers (multi-host: jax.process_index() == 0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.arch import subnet_seed
+from ..utils.common import AverageMeter
+from .bn_recalib import bn_recalibrate
+from .checkpoint import load_checkpoint, save_checkpoint
+from .cls_trainer import ClsTrainer
+from .run_manager import RunConfig
+from .schedules import lr_at_step
+
+
+class ClsRunManager:
+    def __init__(self, path, net, run_config: RunConfig, provider, *,
+                 teacher=None, label_smoothing=0.1, is_root=True, init=True):
+        self.path = path
+        self.net = net
+        self.run_config = run_config
+        self.provider = provider
+        self.is_root = is_root
+        if is_root:
+            os.makedirs(os.path.join(path, "logs"), exist_ok=True)
+            os.makedirs(self.save_path, exist_ok=True)
+
+        self.start_epoch = 0
+        self.best_acc = -1e9
+        if init:
+            self.params, self.state = net.init(
+                jax.random.PRNGKey(run_config.manual_seed))
+
+        teacher_kw = {}
+        t_net = None
+        if teacher is not None and run_config.kd_ratio > 0:
+            t_net, t_params, t_state, t_arch = teacher
+            teacher_kw = dict(teacher_params=t_params, teacher_state=t_state,
+                              teacher_arch=t_net.arch_to_device(t_arch))
+        self.trainer = ClsTrainer(
+            net, opt_type=run_config.opt_type,
+            weight_decay=run_config.weight_decay,
+            momentum=run_config.momentum, nesterov=run_config.nesterov,
+            label_smoothing=label_smoothing, kd_ratio=run_config.kd_ratio,
+            kd_type=run_config.kd_type or "ce", teacher_net=t_net,
+            bn_frozen=run_config.bn_frozen)
+        self.opt_state = self.trainer.init_opt_state(self.params)
+        self._train_step = self.trainer.make_train_step(
+            n_subnets=run_config.dynamic_batch_size, **teacher_kw)
+        self._eval_step = self.trainer.make_eval_step()
+        self._rng = jax.random.PRNGKey(run_config.manual_seed + 1)
+
+    @property
+    def save_path(self):
+        return os.path.join(self.path, "checkpoint")
+
+    def write_log(self, s, prefix="valid", should_print=True):
+        if not self.is_root:
+            return
+        fname = "valid_console.txt" if prefix in ("valid", "test") else "train_console.txt"
+        with open(os.path.join(self.path, "logs", fname), "a") as f:
+            f.write(s + "\n")
+        if should_print:
+            print(s)
+
+    def save_model(self, *, epoch, is_best=False, name=None):
+        if not self.is_root:
+            return None
+        return save_checkpoint(
+            self.save_path,
+            {"epoch": epoch, "best_acc": self.best_acc, "params": self.params,
+             "state": self.state, "opt_state": self.opt_state},
+            name=name or "checkpoint.ckpt", is_best=is_best)
+
+    def load_model(self, path=None):
+        try:
+            tpl = {"epoch": 0, "best_acc": 0.0, "params": self.params,
+                   "state": self.state, "opt_state": self.opt_state}
+            ckpt = load_checkpoint(path or self.save_path, template=tpl)
+            self.params, self.state = ckpt["params"], ckpt["state"]
+            self.opt_state = ckpt["opt_state"]
+            self.start_epoch = int(ckpt.get("epoch", -1)) + 1
+            self.best_acc = float(ckpt.get("best_acc", -1e9))
+        except (FileNotFoundError, KeyError) as e:
+            self.write_log("fail to load checkpoint: %s" % e, "valid")
+
+    def load_weights(self, path):
+        tpl = {"epoch": 0, "best_acc": 0.0, "params": self.params,
+               "state": self.state, "opt_state": self.opt_state}
+        ckpt = load_checkpoint(path, template=tpl)
+        self.params, self.state = ckpt["params"], ckpt["state"]
+
+    # ---------------------------------------------------------------------
+
+    def sample_archs(self, epoch, n_batch, batch_idx, constraints=None):
+        cons = constraints or {}
+        out = []
+        for k in range(self.run_config.dynamic_batch_size):
+            seed = subnet_seed(epoch, n_batch, batch_idx, k)
+            out.append(self.net.arch_to_device(
+                self.net.sample_arch(seed=seed, **cons)))
+        return tuple(out)
+
+    def train_one_epoch(self, epoch, constraints=None):
+        rc = self.run_config
+        loader = self.provider.train
+        loader.set_epoch(epoch)
+        n_batch = len(loader)
+        losses, top1s = AverageMeter(), AverageMeter()
+        for i, batch in enumerate(loader):
+            lr = lr_at_step(rc.base_lr, epoch, i, n_batch, rc.n_epochs,
+                            warmup_epochs=rc.warmup_epochs,
+                            warmup_lr=rc.warmup_lr,
+                            lr_schedule_type=rc.lr_schedule_type)
+            archs = self.sample_archs(epoch, n_batch, i, constraints)
+            dev = {"image": jnp.asarray(batch["image"]),
+                   "label": jnp.asarray(batch["label"])}
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.params, self.state, self.opt_state, m = self._train_step(
+                self.params, self.state, self.opt_state, dev, archs,
+                jnp.asarray(lr, jnp.float32), step_rng)
+            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
+                losses.update(float(m["loss"]), len(batch["label"]))
+                top1s.update(float(m["top1"]), len(batch["label"]))
+                self.write_log(
+                    "Train [%d][%d/%d] loss %.4f top1 %.2f lr %.4g"
+                    % (epoch + 1, i + 1, n_batch, float(m["loss"]),
+                       float(m["top1"]), lr), "train", should_print=False)
+        return losses.avg, top1s.avg
+
+    def validate(self, arch=None, loader=None):
+        arch_dev = self.net.arch_to_device(arch or self.net.max_arch())
+        loader = loader if loader is not None else self.provider.test
+        losses, top1s, top5s = AverageMeter(), AverageMeter(), AverageMeter()
+        for batch in loader:
+            dev = {"image": jnp.asarray(batch["image"]),
+                   "label": jnp.asarray(batch["label"])}
+            out = self._eval_step(self.params, self.state, dev, arch_dev)
+            n = len(batch["label"])
+            losses.update(float(out["loss"]), n)
+            top1s.update(float(out["top1"]), n)
+            top5s.update(float(out["top5"]), n)
+        return losses.avg, top1s.avg, top5s.avg
+
+    def train(self, constraints=None, validate_archs=None):
+        rc = self.run_config
+        for epoch in range(self.start_epoch, rc.n_epochs + rc.warmup_epochs):
+            t0 = time.time()
+            tr_loss, tr_top1 = self.train_one_epoch(epoch, constraints)
+            if (epoch + 1) % rc.validation_frequency == 0:
+                archs = validate_archs or [None]
+                accs = [self.validate(a)[1] for a in archs]
+                acc = float(np.mean(accs))
+                is_best = acc > self.best_acc
+                self.best_acc = max(self.best_acc, acc)
+                self.write_log(
+                    "Epoch %d: train loss %.4f top1 %.2f | valid top1 %.2f "
+                    "(best %.2f) (%.1fs)" % (epoch + 1, tr_loss, tr_top1, acc,
+                                             self.best_acc, time.time() - t0),
+                    "valid")
+                self.save_model(epoch=epoch, is_best=is_best)
+            else:
+                self.save_model(epoch=epoch)
+        return self.best_acc
+
+    def reset_running_statistics(self, arch, n_images=2000, batch_size=100):
+        loader = self.provider.build_sub_train_loader(n_images, batch_size)
+        self.state = bn_recalibrate(
+            self.net, self.params, self.state, self.net.arch_to_device(arch),
+            None, loader, input_key="image")

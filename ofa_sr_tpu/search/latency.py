@@ -1,0 +1,122 @@
+"""Latency estimation: lookup tables + on-device measurement.
+
+Reference: LatencyTable/LatencyEstimator (tutorial/latency_table.py:7-166,
+per-device YAML LUTs keyed by layer type + shapes, downloaded) and
+measure_net_latency (pytorch_utils.py:135-186, warmup + timed loop). Here:
+- `LatencyTable` reads the same key format from a local YAML/JSON file;
+- `measure_latency` times a jitted callable on the actual device (the TPU
+  replaces the reference's mobile-phone tables as the deployment target);
+- `build_latency_table` measures each elastic block choice once and writes
+  a table, the TPU analogue of building a per-device LUT.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class LatencyTable:
+    """Key format mirrors the reference query keys, e.g.
+    'expanded_conv-input:56x56x24-output:56x56x24-expand:3-kernel:3-...'.
+    Values are latency in ms. Backed by a plain dict loaded from JSON/YAML."""
+
+    def __init__(self, table: Optional[dict] = None, path: Optional[str] = None):
+        if table is None and path is not None:
+            table = _load_table(path)
+        self.table = table or {}
+
+    @staticmethod
+    def repr_shape(shape):
+        if isinstance(shape, (list, tuple)):
+            return "x".join(str(s) for s in shape)
+        return str(shape)
+
+    def query(self, l_type: str, input_shape, output_shape, **kwargs):
+        infos = ["%s" % l_type,
+                 "input:%s" % self.repr_shape(input_shape),
+                 "output:%s" % self.repr_shape(output_shape)]
+        for key, value in kwargs.items():
+            if value is not None:
+                infos.append("%s:%s" % (key, value))
+        key = "-".join(infos)
+        return self.table[key]
+
+    def set(self, l_type, input_shape, output_shape, latency_ms, **kwargs):
+        infos = ["%s" % l_type,
+                 "input:%s" % self.repr_shape(input_shape),
+                 "output:%s" % self.repr_shape(output_shape)]
+        for key, value in kwargs.items():
+            if value is not None:
+                infos.append("%s:%s" % (key, value))
+        self.table["-".join(infos)] = latency_ms
+
+    def save(self, path):
+        with open(path, "w") as f:
+            json.dump(self.table, f, indent=2)
+
+
+def _load_table(path):
+    with open(path) as f:
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # minimal YAML (flat 'key: value' lines) without a yaml dependency
+        table = {}
+        for line in text.splitlines():
+            if ":" in line and not line.strip().startswith("#"):
+                k, _, v = line.rpartition(":")
+                try:
+                    table[k.strip()] = float(v)
+                except ValueError:
+                    pass
+        return table
+
+
+def measure_latency(fn: Callable, *args, warmup=3, iters=20):
+    """Median wall-clock of a jitted callable, ms (measure_net_latency
+    semantics: warmup then timed loop, pytorch_utils.py:135-186)."""
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.median(times))
+
+
+def build_latency_table(net, params, state, space, hr_size=96,
+                        batch_size=1, iters=10):
+    """Measure each materialized uniform subnet corner on the device and
+    record it — a compact TPU latency LUT over (ks, e, d, pixel_d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.arch import uniform_subnet
+    from ..models.materialize import get_active_subnet
+
+    table = LatencyTable()
+    rng = np.random.RandomState(0)
+    for pd in space.pixel_d_list:
+        lr = hr_size // (2 ** pd)
+        x = jnp.asarray(rng.rand(batch_size, lr, lr, 3), jnp.float32)
+        for k in space.ks_list:
+            for e in space.expand_list:
+                for d in space.depth_list:
+                    cfg = uniform_subnet(space, k, e, d, pd,
+                                         n_trunks=net.n_trunks)
+                    sub = jax.jit(get_active_subnet(net, params, state, cfg))
+                    ms = measure_latency(sub, x, warmup=2, iters=iters)
+                    table.set("sr_subnet", [lr, lr, 3],
+                              [hr_size, hr_size, 3], ms,
+                              kernel=k, expand=e, depth=d, pixel_d=pd)
+    return table

@@ -30,7 +30,8 @@ from .schedules import lr_at_step
 
 class ClsRunManager:
     def __init__(self, path, net, run_config: RunConfig, provider, *,
-                 teacher=None, label_smoothing=0.1, is_root=True, init=True):
+                 teacher=None, label_smoothing=0.1, is_root=True, init=True,
+                 params=None, state=None):
         self.path = path
         self.net = net
         self.run_config = run_config
@@ -42,9 +43,13 @@ class ClsRunManager:
 
         self.start_epoch = 0
         self.best_acc = -1e9
-        if init:
+        if params is not None:
+            self.params, self.state = params, state
+        elif init:
             self.params, self.state = net.init(
                 jax.random.PRNGKey(run_config.manual_seed))
+        else:
+            raise ValueError("init=False requires params/state")
 
         teacher_kw = {}
         t_net = None

@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.activations import apply_act
 from ..ops.conv import conv2d, conv_init, depthwise_conv2d, depthwise_conv_init
@@ -176,25 +177,47 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     first `depth` of them active (runtime_depth truncation,
     ofa_mbs4.py:152-156).
 
-    Inactive blocks are gated out with `where` — their output and their BN
-    state updates are both discarded, so gradients and statistics match the
-    reference's skipped blocks exactly.
+    Elastic depth compiles as a `lax.switch` over the stage's depth options:
+    only the selected prefix of blocks *executes* (the reference skips them
+    too; a where-gate would burn max_depth blocks of MXU time every step).
+    Skipped blocks' params get zero gradient and their BN states pass
+    through untouched, matching the reference exactly.
     """
-    def block_fn(bp, bs, xx, k_i, m_i):
+    def plain_block_fn(bp, bs, xx, k_i, m_i):
         return mbconv_apply(bp, bs, xx, space, k_i, m_i,
                             act=act, training=training, bn_cfg=bn_cfg)
 
-    if remat:
-        # rematerialize each block's activations in the backward pass:
-        # masked execution runs every block at max width, whose residuals
-        # (B,H,W,max_mid) x 16 blocks otherwise exceed HBM at batch 16/96px
-        block_fn = jax.checkpoint(block_fn)
+    # rematerialize alternate blocks' activations in the backward pass:
+    # full residuals ((B,H,W,max_mid) x 16 blocks) exceed HBM at batch
+    # 16/96px (~17.3G vs 15.75G); checkpointing every other block halves the
+    # recompute of checkpointing all while fitting comfortably
+    remat_block_fn = jax.checkpoint(plain_block_fn) if remat else plain_block_fn
 
-    new_states = []
-    for i, (bp, bs) in enumerate(zip(blocks_p, blocks_s)):
-        out, ns = block_fn(bp, bs, x, ks_idx[i], mid[i])
-        gate = i < depth
-        x = jnp.where(gate, out + x, x)
-        ns = jax.tree.map(lambda a, b: jnp.where(gate, a, b), ns, bs)
-        new_states.append(ns)
-    return x, new_states
+    def block_fn(i, *args):
+        return (remat_block_fn if i % 2 == 1 else plain_block_fn)(*args)
+
+    n = len(blocks_p)
+    depth_options = sorted(d for d in set(space.depth_list) if d <= n)
+    if n not in depth_options:
+        depth_options.append(n)
+
+    def run_prefix(d):
+        def f(xx):
+            states = []
+            for i in range(n):
+                if i < d:
+                    out, ns = block_fn(i, blocks_p[i], blocks_s[i], xx,
+                                       ks_idx[i], mid[i])
+                    xx = out + xx
+                else:
+                    # untouched: state passes through; params see zero grad
+                    # because this branch never reads them
+                    ns = blocks_s[i]
+                states.append(ns)
+            return xx, states
+        return f
+
+    if len(depth_options) == 1:
+        return run_prefix(depth_options[0])(x)
+    idx = jnp.searchsorted(jnp.asarray(depth_options), depth)
+    return lax.switch(idx, [run_prefix(d) for d in depth_options], x)

@@ -165,6 +165,54 @@ class SRTrainer:
         donate_argnums = (0, 1, 2) if donate else ()
         return jax.jit(build, donate_argnums=donate_argnums)
 
+    def make_scan_train_step(self, n_subnets: int = 1, donate: bool = True):
+        """Device-side multi-step training: one dispatch runs `n_inner`
+        optimizer steps via lax.scan over stacked batches/archs/lrs.
+
+        This amortizes host->device dispatch (significant when the chip sits
+        behind a network relay) and lets XLA overlap steps. Inputs carry a
+        leading n_inner axis: batches {k: [n,B,...]}, archs = tuple of
+        n_subnets stacked-arch pytrees ([n, ...] leaves), lrs [n].
+        Semantics per inner step are identical to make_train_step.
+        """
+        tx_holder = {}
+
+        def one_step(params, state, opt_state, batch, archs, lr):
+            grads_sum = None
+            losses, psnrs = [], []
+            cur_state = state
+            for k in range(n_subnets):
+                arch = jax.tree.map(lambda a: a, archs[k])
+                (loss, (cur_state, psnr)), g = jax.value_and_grad(
+                    self._subnet_loss, has_aux=True)(
+                        params, cur_state, batch, arch, None)
+                grads_sum = g if grads_sum is None else jax.tree.map(
+                    jnp.add, grads_sum, g)
+                losses.append(loss)
+                psnrs.append(psnr)
+            updates, new_opt = tx_holder["tx"].update(grads_sum, opt_state, params)
+            new_params = jax.tree.map(lambda pp, u: pp + lr * u, params, updates)
+            return new_params, cur_state, new_opt, {
+                "loss": jnp.mean(jnp.stack(losses)),
+                "psnr": jnp.mean(jnp.stack(psnrs))}
+
+        def scan_steps(params, state, opt_state, batches, archs, lrs):
+            tx_holder["tx"] = self.tx(params)
+
+            def body(carry, xs):
+                params, state, opt_state = carry
+                batch, arch, lr = xs
+                params, state, opt_state, m = one_step(
+                    params, state, opt_state, batch, arch, lr)
+                return (params, state, opt_state), m
+
+            (params, state, opt_state), ms = jax.lax.scan(
+                body, (params, state, opt_state), (batches, archs, lrs))
+            return params, state, opt_state, jax.tree.map(jnp.mean, ms)
+
+        donate_argnums = (0, 1, 2) if donate else ()
+        return jax.jit(scan_steps, donate_argnums=donate_argnums)
+
     def make_eval_step(self):
         """Per-batch evaluation (SRRunManager.validate, sr_run_manager.py:
         323-393): MSE loss + PSNR-Y against HR, BN in eval mode."""

@@ -229,11 +229,15 @@ class _SRFolderProvider(DataProvider):
 
 class Div2KSetXXProvider(_SRFolderProvider):
     """DIV2K train / Set5+Set14 val (reference Div2K_SetXXDataProvider,
-    div2k_setxx.py:17-249: RandomCrop(96)+flip+rot90 train, ModCrop(4) val)."""
+    div2k_setxx.py:17-249: RandomCrop(96)+flip+rot90 train, ModCrop(4) val).
+
+    use_native=True swaps the train loader for the C++ threaded pipeline
+    (csrc/loader; same transform semantics, own deterministic RNG) — the
+    PIL path stays the bit-parity reference for evaluation."""
 
     DEFAULT_PATH = "/SSD/div2k_setxx"
 
-    def __init__(self, root=None, image_size=96, **kw):
+    def __init__(self, root=None, image_size=96, use_native=False, **kw):
         root = root or self.DEFAULT_PATH
         super().__init__(
             root,
@@ -243,6 +247,13 @@ class Div2KSetXXProvider(_SRFolderProvider):
                                      RandomRotation(90)]),
             valid_transform=Compose([ModCrop(4)]),
             **kw)
+        if use_native:
+            from .native import NativeSRLoader, native_available
+            if native_available():
+                self.train = NativeSRLoader(
+                    self._train_ds.paths, crop=image_size,
+                    batch_size=self.train.batch_size,
+                    augment=True, n_threads=self.train.num_workers)
 
     @staticmethod
     def name():

@@ -1,0 +1,77 @@
+"""Native C++ loader vs PIL: decode parity, bicubic parity, batch loader."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ofa_sr_tpu.data.native import (
+    NativeSRLoader,
+    decode_image,
+    native_available,
+    resize_bicubic,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native loader not built")
+
+
+def _png(tmp_path, name="a.png", size=(64, 48), seed=0):
+    rng = np.random.RandomState(seed)
+    arr = (rng.rand(size[1], size[0], 3) * 255).astype(np.uint8)
+    p = tmp_path / name
+    Image.fromarray(arr).save(p)
+    return str(p), arr
+
+
+def test_png_decode_bit_exact(tmp_path):
+    path, arr = _png(tmp_path)
+    out = decode_image(path)
+    np.testing.assert_array_equal((out * 255).round().astype(np.uint8), arr)
+
+
+def test_png_decode_palette_and_gray(tmp_path):
+    arr = (np.random.RandomState(1).rand(16, 16) * 255).astype(np.uint8)
+    pg = tmp_path / "g.png"
+    Image.fromarray(arr, mode="L").save(pg)
+    out = decode_image(str(pg))
+    np.testing.assert_array_equal((out[..., 0] * 255).round().astype(np.uint8), arr)
+    # palette
+    pp = tmp_path / "p.png"
+    Image.fromarray(np.stack([arr] * 3, -1)).convert("P").save(pp)
+    out = decode_image(str(pp))
+    assert out.shape == (16, 16, 3)
+
+
+def test_native_bicubic_matches_python_filter(tmp_path):
+    """The C++ resize must match the float-exact Python/XLA filter
+    (data/bicubic.py), which itself matches PIL F-mode."""
+    import jax.numpy as jnp
+    from ofa_sr_tpu.data.bicubic import resize_bicubic as jax_resize
+    rng = np.random.RandomState(2)
+    src = rng.rand(48, 64, 3).astype(np.float32)
+    nat = resize_bicubic(src, 24, 32)
+    dev = np.asarray(jax_resize(jnp.asarray(src), 24, 32))
+    np.testing.assert_allclose(nat, dev, rtol=1e-5, atol=1e-6)
+
+
+def test_native_loader_batches(tmp_path):
+    for i in range(8):
+        _png(tmp_path, "img%d.png" % i, size=(70, 60), seed=i)
+    paths = sorted(str(p) for p in tmp_path.glob("*.png"))
+    ld = NativeSRLoader(paths, crop=32, batch_size=4, augment=True,
+                        n_threads=2)
+    batches = list(ld)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["x2"].shape == (4, 16, 16, 3)
+    assert b["x4"].shape == (4, 8, 8, 3)
+    assert b["image"].min() >= 0 and b["image"].max() <= 1
+
+    # determinism within an epoch
+    again = list(ld)
+    np.testing.assert_array_equal(batches[0]["image"], again[0]["image"])
+    # epochs shuffle/augment differently
+    ld.set_epoch(1)
+    other = list(ld)
+    assert not np.array_equal(batches[0]["image"], other[0]["image"])

@@ -122,6 +122,47 @@ def uniform_subnet(space: SearchSpace, ks, e, d, pixel_d, n_trunks: int = 1) -> 
     )
 
 
+def reference_quirk_arch_s4(cfg: SubnetConfig) -> SubnetConfig:
+    """Map a sampled subnet to the architecture the reference S4 *actually
+    executes*.
+
+    Two reference quirks compose (verified against the live code in
+    tests/test_reference_parity.py):
+    - set_active_subnet inserts pixel_d at position -1 of the depth list
+      (ofa_mbs4.py:283), so runtime_depth = [d0,d1,d2, pd, d3];
+    - forward's shuffle loop enumerates block_group_info[4:] from 0 and
+      reads runtime_depth[stage_id] (ofa_mbs4.py:165-169), so the shuffle
+      stage uses runtime_depth[0] = d0, not the pixel_d entry.
+
+    Net effect: stage depths = (d0, d1, d2, pixel_d); shuffle count =
+    min(2, d0) — with d0 >= 2 the as-committed S4 always upsamples 4x, and
+    the sampled pixel_d only truncates the last MBConv stage.
+    """
+    d_eff = (cfg.d[0], cfg.d[1], cfg.d[2], cfg.pixel_d)
+    pd_eff = min(2, cfg.d[0])
+    return SubnetConfig(ks=cfg.ks, e=cfg.e, d=d_eff, pixel_d=pd_eff)
+
+
+def reference_quirk_arch_x4(cfg: SubnetConfig) -> SubnetConfig:
+    """Reference X4 as-executed architecture.
+
+    set_active_subnet inserts pixel_d at positions 0 and -1
+    (ofa_mbx4.py:365-366) giving runtime_depth =
+    [pd, d0..d6, pd, d7]; but every forward loop enumerates its group slice
+    from 0 (ofa_mbx4.py:196-240), so the encoder stages AND the decoder
+    stages both read runtime_depth[0:4] = [pd, d0, d1, d2], and the
+    unshuffle/shuffle loops read runtime_depth[0] = pd (by accident, the
+    intended value). Net effect: both trunks run stage depths
+    (pd, d0, d1, d2); d3..d7 are sampled but never used; the up/downscale
+    factor is 2^pd as intended.
+    """
+    n = len(cfg.d) // 2
+    assert n == 4, "X4 has 4+4 stages"
+    trunk = (cfg.pixel_d, cfg.d[0], cfg.d[1], cfg.d[2])
+    return SubnetConfig(ks=cfg.ks, e=cfg.e, d=trunk + trunk,
+                        pixel_d=cfg.pixel_d)
+
+
 def subnet_seed(epoch: int, n_batch: int, batch_idx: int, subnet_idx: int) -> int:
     """The reference's determinism contract:
     int('%d%.3d%.3d' % (epoch * nBatch + i, subnet_idx, 0))

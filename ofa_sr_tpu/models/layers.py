@@ -197,7 +197,11 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
         return (remat_block_fn if i % 2 == 1 else plain_block_fn)(*args)
 
     n = len(blocks_p)
-    depth_options = sorted(d for d in set(space.depth_list) if d <= n)
+    # branch set: every depth a runtime arch can request. The reference's
+    # runtime_depth indexing quirk routes pixel_d values into stage depths
+    # (see arch.reference_quirk_arch_*), so those are included too.
+    cand = set(space.depth_list) | set(space.pixel_d_list)
+    depth_options = sorted(d for d in cand if d <= n)
     if n not in depth_options:
         depth_options.append(n)
 

@@ -72,6 +72,10 @@ class RunConfig:
     bn_frozen: bool = False               # SR oracle 'BN always eval'
     bn_recalib_before_eval: bool = False  # OFA-canonical eval does recalib
     image_size: int = 96
+    # train the architectures the reference *actually executes* (its
+    # runtime_depth indexing quirks, arch.reference_quirk_arch_*) rather
+    # than the intended semantics — for exact training-trajectory parity
+    reference_quirks: bool = False
 
     @property
     def config(self):
@@ -199,6 +203,11 @@ class SRRunManager:
             seed = subnet_seed(epoch, n_batch, batch_idx, k)
             cfg = sample_subnet(sp, seed=seed, n_trunks=self.net.n_trunks,
                                 **cons)
+            if self.run_config.reference_quirks:
+                from ..models.arch import (reference_quirk_arch_s4,
+                                           reference_quirk_arch_x4)
+                cfg = (reference_quirk_arch_x4(cfg) if self.net.n_trunks == 2
+                       else reference_quirk_arch_s4(cfg))
             archs.append(cfg.to_device(sp))
             descs.append(cfg)
         return tuple(archs), descs

@@ -1,0 +1,157 @@
+"""Bit-level parity against the actual reference implementation.
+
+Builds the reference PyTorch supernets (imported from /root/reference as a
+test oracle — none of its code is copied), transfers randomly-initialized
+weights through train/checkpoint.import_torch_*, and requires the masked
+JAX forward to match the reference's sliced eager forward for multiple
+sampled subnets — the acceptance criterion of SURVEY.md §7.3 item 1.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    # the reference imports torchvision only for unused display helpers
+    tv = types.ModuleType("torchvision")
+    tvu = types.ModuleType("torchvision.utils")
+    tvu.make_grid = lambda *a, **k: a[0]
+    tv.utils = tvu
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.utils", tvu)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from ofa.elastic_nn.modules.dynamic_op import DynamicSeparableConv2d
+    from ofa.elastic_nn.networks.ofa_mbs4 import OFAMobileNetS4 as RefS4
+    from ofa.elastic_nn.networks.ofa_mbx4 import OFAMobileNetX4 as RefX4
+    DynamicSeparableConv2d.KERNEL_TRANSFORM_MODE = 1
+    return RefS4, RefX4
+
+
+def test_s4_param_count_matches(ref_modules):
+    import jax
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace
+    RefS4, _ = ref_modules
+    ref = RefS4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
+    n_ref = sum(p.numel() for p in ref.parameters())
+    net = OFAMobileNetS4(SearchSpace())
+    p, _ = net.init(jax.random.PRNGKey(0))
+    n_ours = sum(int(np.prod(np.shape(l))) for l in jax.tree.leaves(p))
+    assert n_ours == n_ref == 2160422
+
+
+def test_s4_forward_parity_random_subnets(ref_modules):
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace, sample_subnet
+    from ofa_sr_tpu.train.checkpoint import import_torch_s4
+
+    RefS4, _ = ref_modules
+    torch.manual_seed(0)
+    ref = RefS4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
+    ref.eval()
+
+    space = SearchSpace()
+    net = OFAMobileNetS4(space)
+    params, state = import_torch_s4(ref.state_dict(), net)
+
+    from ofa_sr_tpu.models.arch import reference_quirk_arch_s4
+    rng = np.random.RandomState(0)
+    for seed in range(4):
+        cfg = sample_subnet(space, seed=seed)
+        ref.set_active_subnet(ks=list(cfg.ks), e=list(cfg.e), d=list(cfg.d),
+                              pixel_d=[cfg.pixel_d])
+        # the reference's runtime_depth indexing quirks mean the executed
+        # arch differs from the sampled one; mirror it explicitly
+        eff = reference_quirk_arch_s4(cfg)
+        hw = 96 // (2 ** eff.pixel_d)
+        x = rng.rand(2, hw, hw, 3).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        y_ref = y_ref.numpy().transpose(0, 2, 3, 1)
+
+        y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                              eff.to_device(space), pixel_d=eff.pixel_d,
+                              training=False)
+        np.testing.assert_allclose(np.asarray(y_ours), y_ref,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_s4_train_mode_forward_parity(ref_modules):
+    """Training-mode BN (batch stats) must also match — the loss the
+    trainer optimizes is computed in this mode."""
+    import jax.numpy as jnp
+    import torch
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    from ofa_sr_tpu.train.checkpoint import import_torch_s4
+
+    RefS4, _ = ref_modules
+    torch.manual_seed(1)
+    ref = RefS4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
+    ref.train()
+
+    space = SearchSpace()
+    net = OFAMobileNetS4(space)
+    params, state = import_torch_s4(ref.state_dict(), net)
+
+    from ofa_sr_tpu.models.arch import reference_quirk_arch_s4
+    cfg = uniform_subnet(space, 5, 4, 3, 1)
+    ref.set_active_subnet(ks=5, e=4, d=[3, 3, 3, 3], pixel_d=[1])
+    eff = reference_quirk_arch_s4(cfg)
+    x = np.random.RandomState(1).rand(4, 24, 24, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                          eff.to_device(space), pixel_d=eff.pixel_d,
+                          training=True)
+    np.testing.assert_allclose(np.asarray(y_ours),
+                               y_ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_x4_forward_parity(ref_modules):
+    import jax.numpy as jnp
+    import torch
+    from ofa_sr_tpu.models import OFAMobileNetX4, SearchSpace
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    from ofa_sr_tpu.train.checkpoint import import_torch_x4
+
+    _, RefX4 = ref_modules
+    torch.manual_seed(2)
+    ref = RefX4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
+    ref.eval()
+
+    space = SearchSpace()
+    net = OFAMobileNetX4(space)
+    params, state = import_torch_x4(ref.state_dict(), net)
+
+    from ofa_sr_tpu.models.arch import reference_quirk_arch_x4
+    for pd in (1, 2):
+        cfg = uniform_subnet(space, 7, 6, 4, pd, n_trunks=2)
+        ref.set_active_subnet(ks=7, e=6, d=[4] * 8, pixel_d=[pd])
+        eff = reference_quirk_arch_x4(cfg)
+        x = np.random.RandomState(pd).rand(1, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        # reference X4 forward = full autoencoder (encoder active)
+        y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                              eff.to_device(space), pixel_d=eff.pixel_d,
+                              mode="autoencoder", training=False)
+        np.testing.assert_allclose(np.asarray(y_ours),
+                                   y_ref.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)

@@ -86,11 +86,12 @@ class SRRunManager:
     """Owns one training run of an SR supernet (S4 or X4)."""
 
     def __init__(self, path, net, run_config: RunConfig, provider, *,
-                 teacher=None, init=True):
+                 teacher=None, init=True, mesh=None):
         self.path = path
         self.net = net
         self.run_config = run_config
         self.provider = provider
+        self.mesh = mesh  # jax.sharding.Mesh -> data-parallel execution
         os.makedirs(self.logs_path, exist_ok=True)
         os.makedirs(self.save_path, exist_ok=True)
 
@@ -125,7 +126,27 @@ class SRRunManager:
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)
         self._eval_step = self.trainer.make_eval_step()
 
+        if self.mesh is not None:
+            # replicate params/state/opt over the mesh; batches are sharded
+            # per step (global-batch semantics — XLA inserts the gradient
+            # all-reduce, SURVEY.md §2.8)
+            from ..parallel import shard_params
+            self.params = shard_params(self.params, self.mesh)
+            self.state = shard_params(self.state, self.mesh)
+            self.opt_state = shard_params(self.opt_state, self.mesh)
+
         self._write_net_info()
+
+    def _to_device(self, batch):
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            bs = next(iter(dev.values())).shape[0]
+            if bs % self.mesh.size == 0:
+                from ..parallel import shard_batch
+                dev = shard_batch(dev, self.mesh)
+            # else (e.g. the bs=1 eval loader): leave unsharded — jit
+            # executes it single-device against the replicated params
+        return dev
 
     # -- paths / logging ------------------------------------------------------
 
@@ -227,7 +248,7 @@ class SRRunManager:
                             warmup_lr=rc.warmup_lr,
                             lr_schedule_type=rc.lr_schedule_type)
             archs, descs = self.sample_archs(epoch, n_batch, i, constraints)
-            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            dev_batch = self._to_device(batch)
             self.params, self.state, self.opt_state, metrics = self._train_step(
                 self.params, self.state, self.opt_state, dev_batch, archs,
                 jnp.asarray(lr, jnp.float32))
@@ -261,7 +282,7 @@ class SRRunManager:
         losses, psnrs = AverageMeter(), AverageMeter()
         arch = cfg.to_device(sp)
         for batch in loader:
-            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            dev_batch = self._to_device(batch)
             out = self._eval_step(self.params, state, dev_batch, arch)
             n = batch["image"].shape[0]
             losses.update(float(out["loss"]), n)

@@ -101,10 +101,11 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, index, rng: Optional[random.Random] = None):
+    def __getitem__(self, index, rng: Optional[random.Random] = None,
+                    size: Optional[int] = None):
         path, label = self.samples[index]
         img = Image.open(path).convert("RGB")
-        size = self.active_size
+        size = size if size is not None else self.active_size
         if self.train and rng is not None:
             # RandomResizedCrop(scale=(resize_scale, 1.0)) + flip
             w, h = img.size
@@ -213,6 +214,11 @@ class ImagenetProvider(_ClsProvider):
                                      False)
         self._finish(train_ds, test_ds, train_batch_size, test_batch_size,
                      valid_size, num_replicas, rank, num_workers)
+        if elastic is not None:
+            # synchronized per-batch resolution (MyRandomResizedCrop
+            # sample_image_size contract, base_provider.py:95-103)
+            self.train.per_batch_setting = (
+                lambda batch_id, epoch: {"size": elastic.sample(batch_id, epoch)})
 
     def assign_active_img_size(self, size):
         """reference assign_active_img_size (imagenet.py:184-191)."""

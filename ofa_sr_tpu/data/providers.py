@@ -96,7 +96,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle=False,
                  drop_last=False, num_replicas=1, rank=0, num_workers=8,
-                 indices: Optional[Sequence[int]] = None, epoch=0):
+                 indices: Optional[Sequence[int]] = None, epoch=0,
+                 per_batch_setting=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -106,6 +107,10 @@ class Loader:
         self.num_workers = num_workers
         self.indices = list(indices) if indices is not None else list(range(len(dataset)))
         self.epoch = epoch
+        # (batch_id, epoch) -> kwargs for dataset.__getitem__, applied to a
+        # whole batch — the elastic-resolution hook (my_data_loader.py:146
+        # calls MyRandomResizedCrop.sample_image_size before collating)
+        self.per_batch_setting = per_batch_setting
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -135,32 +140,42 @@ class Loader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        def load_one(i):
+        def load_one(i, setting):
             rng = random.Random(self.epoch * 1_000_003 + i)
-            return self.dataset.__getitem__(i, rng=rng)
+            return self.dataset.__getitem__(i, rng=rng, **setting)
+
+        def setting_for(batch_id):
+            if self.per_batch_setting is None:
+                return {}
+            return self.per_batch_setting(batch_id, self.epoch)
 
         def collate(samples):
             keys = samples[0].keys()
             return {k: np.stack([s[k] for s in samples]) for k in keys}
 
         if self.num_workers <= 1:
-            for b in batches:
-                yield collate([load_one(i) for i in b])
+            for bid, b in enumerate(batches):
+                st = setting_for(bid)
+                yield collate([load_one(i, st) for i in b])
             return
 
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            def submit(bid, b):
+                st = setting_for(bid)
+                return pool.map(lambda i: load_one(i, st), b)
+
             pending = []
-            it = iter(batches)
+            it = iter(enumerate(batches))
             # keep a 2-batch prefetch window
             for _ in range(2):
-                b = next(it, None)
-                if b is not None:
-                    pending.append(pool.map(load_one, b))
+                nb = next(it, None)
+                if nb is not None:
+                    pending.append(submit(*nb))
             while pending:
                 done = pending.pop(0)
-                b = next(it, None)
-                if b is not None:
-                    pending.append(pool.map(load_one, b))
+                nb = next(it, None)
+                if nb is not None:
+                    pending.append(submit(*nb))
                 yield collate(list(done))
 
 

@@ -28,6 +28,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialization (replaces hvd.init, train_ofa_net.py:121).
+
+    Call once per host before creating arrays; afterwards jax.devices()
+    spans all hosts and `make_mesh()` builds the global data mesh (gradient
+    all-reduce rides ICI within a slice, DCN across slices). No-op when the
+    env provides the coordination (TPU pods set it up automatically)."""
+    import jax
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass  # single-process / already initialized
+    else:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(devices=None, axis_name="data"):
     """1-D data-parallel mesh over all local devices (or a given list)."""
     if devices is None:

@@ -57,6 +57,10 @@ def batch_norm(x, params, state, *, training, momentum=0.1, eps=1e-5,
     are updated.
     """
     scale, bias = params["scale"], params["bias"]
+    # statistics and normalization always in f32 — under bf16 mixed
+    # precision the moments would otherwise lose mantissa badly
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
     if training:
         mean, var = batch_moments(x)
         n = x.shape[0] * x.shape[1] * x.shape[2]
@@ -75,7 +79,7 @@ def batch_norm(x, params, state, *, training, momentum=0.1, eps=1e-5,
         new_state = state
 
     inv = jnp.reciprocal(jnp.sqrt(var + eps))
-    y = (x - mean) * inv * scale + bias
+    y = (x - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if mask is not None:
-        y = y * mask
-    return y, new_state
+        y = y * mask.astype(jnp.float32)
+    return y.astype(in_dtype), new_state

@@ -45,7 +45,7 @@ class SRTrainer:
     def __init__(self, net, *, opt_type="adam", weight_decay=3e-5,
                  momentum=0.9, nesterov=True, kd_ratio=0.0,
                  mode: str = "sr", bn_frozen: bool = False,
-                 teacher_net=None):
+                 teacher_net=None, compute_dtype=None, remat=None):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -55,6 +55,13 @@ class SRTrainer:
         self.mode = mode
         self.bn_frozen = bn_frozen
         self.teacher_net = teacher_net
+        # mixed precision: cast params + activations to compute_dtype (e.g.
+        # jnp.bfloat16 — halves HBM traffic and activation memory); the f32
+        # master params, BN statistics (ops/norm.py), loss and PSNR stay f32
+        self.compute_dtype = compute_dtype
+        # None -> remat during training (needed at f32; bf16 activations may
+        # fit without it — pass False to trade memory for ~17% fewer FLOPs)
+        self.remat = remat
         self._tx = None
 
     # -- optimizer ------------------------------------------------------------
@@ -75,9 +82,12 @@ class SRTrainer:
     def _forward(self, params, state, batch, arch, *, training):
         """Returns (output_hr, new_state). Branches on arch['pixel_d']."""
         bn_training = False if self.bn_frozen else training
-        # rematerialize block activations during training: masked execution
-        # at max width (B,H,W,384)x16-blocks of residuals would blow HBM
-        kw = dict(training=training, bn_training=bn_training, remat=training)
+        remat = self.remat if self.remat is not None else training
+        kw = dict(training=training, bn_training=bn_training, remat=remat)
+        if self.compute_dtype is not None:
+            cd = self.compute_dtype
+            params = jax.tree.map(lambda a: a.astype(cd), params)
+            batch = {k: v.astype(cd) for k, v in batch.items()}
         if self.mode == "autoencoder":
             def f(pd):
                 return lambda _: self.net.apply(
@@ -105,7 +115,8 @@ class SRTrainer:
 
     def _subnet_loss(self, params, state, batch, arch, teacher_out):
         out, new_state = self._forward(params, state, batch, arch, training=True)
-        hr = batch["image"]
+        out = out.astype(jnp.float32)
+        hr = batch["image"].astype(jnp.float32)
         mse = jnp.mean(jnp.square(out - hr))
         if self.kd_ratio > 0 and teacher_out is not None:
             # working KD (the reference SR KD path is broken —

@@ -106,9 +106,69 @@ def mbconv_init(key, space: SearchSpace, dtype=jnp.float32, use_transform=True,
     return p, s
 
 
+def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
+                          bn_cfg, stride):
+    """One expand-switch branch: the block computed with *statically sliced*
+    weights at middle width mid_k (identical numerics to masking — slicing
+    is what the reference does). Returns (y, new_state at full width: the
+    updated prefix concatenated with the untouched suffix)."""
+    bn_cfg = bn_cfg or {}
+
+    def slice_bn(bp, bs):
+        return ({k: v[:mid_k] for k, v in bp.items()},
+                {k: v[:mid_k] for k, v in bs.items()})
+
+    def pad_bn(new, old):
+        return {k: jnp.concatenate([new[k], old[k][mid_k:]]) for k in new}
+
+    new_s = {}
+    y = conv2d(x, p["inverted_bottleneck"]["conv"]["w"][:, :, :, :mid_k])
+    bp, bs = slice_bn(p["inverted_bottleneck"]["bn"], s["inverted_bottleneck"]["bn"])
+    y, bn_ib = batch_norm(y, bp, bs, training=training, **bn_cfg)
+    y = apply_act(y, act)
+    new_s["inverted_bottleneck"] = {"bn": pad_bn(bn_ib, s["inverted_bottleneck"]["bn"])}
+
+    use_t = "kt" in p["depth_conv"]
+    cands = kernel_candidates(p["depth_conv"]["conv"]["w"],
+                              p["depth_conv"].get("kt"), space.ks_list,
+                              use_transform=use_t)
+    w_dw = select_kernel(cands, ks_idx)[:, :, :, :mid_k]
+    y = depthwise_conv2d(y, w_dw, stride=stride)
+    bp, bs = slice_bn(p["depth_conv"]["bn"], s["depth_conv"]["bn"])
+    y, bn_dw = batch_norm(y, bp, bs, training=training, **bn_cfg)
+    y = apply_act(y, act)
+    new_s["depth_conv"] = {"bn": pad_bn(bn_dw, s["depth_conv"]["bn"])}
+
+    y = conv2d(y, p["point_linear"]["conv"]["w"][:, :, :mid_k, :])
+    y, bn_pl = batch_norm(y, p["point_linear"]["bn"], s["point_linear"]["bn"],
+                          training=training, **bn_cfg)
+    new_s["point_linear"] = {"bn": bn_pl}
+    return y, new_s
+
+
 def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                  act="relu6", training=False, bn_cfg=None, stride=1,
-                 se_mid=None):
+                 se_mid=None, expand_switch=False):
+    if expand_switch and "se" not in p and len(space.expand_list) > 1:
+        # compile one branch per expand option: only the sampled width's
+        # FLOPs execute (masking always pays the max width)
+        mids = space.mid_candidates()
+        idx = jnp.searchsorted(jnp.asarray(mids), mid)
+        branches = [
+            (lambda mk: (lambda xx: _sliced_mbconv_branch(
+                p, s, xx, space, ks_idx, mk, act=act, training=training,
+                bn_cfg=bn_cfg, stride=stride)))(mk)
+            for mk in mids
+        ]
+        return lax.switch(idx, branches, x)
+    return _masked_mbconv_apply(p, s, x, space, ks_idx, mid, act=act,
+                                training=training, bn_cfg=bn_cfg,
+                                stride=stride, se_mid=se_mid)
+
+
+def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
+                         act="relu6", training=False, bn_cfg=None, stride=1,
+                         se_mid=None):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
     is the active middle width (both traced int32 scalars); `se_mid` the
     active SE bottleneck width when the block has squeeze-excite.
@@ -171,7 +231,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 
 def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
-                         bn_cfg=None, remat=False):
+                         bn_cfg=None, remat=False, expand_switch=False):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -185,7 +245,8 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     """
     def plain_block_fn(bp, bs, xx, k_i, m_i):
         return mbconv_apply(bp, bs, xx, space, k_i, m_i,
-                            act=act, training=training, bn_cfg=bn_cfg)
+                            act=act, training=training, bn_cfg=bn_cfg,
+                            expand_switch=expand_switch)
 
     # rematerialize alternate blocks' activations in the backward pass:
     # full residuals ((B,H,W,max_mid) x 16 blocks) exceed HBM at batch
@@ -194,6 +255,10 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     remat_block_fn = jax.checkpoint(plain_block_fn) if remat else plain_block_fn
 
     def block_fn(i, *args):
+        # expand-switch branches multiply live buffers: checkpoint every
+        # block there; otherwise alternate (halves the recompute)
+        if expand_switch:
+            return remat_block_fn(*args)
         return (remat_block_fn if i % 2 == 1 else plain_block_fn)(*args)
 
     n = len(blocks_p)

@@ -114,7 +114,8 @@ class OFAMobileNetS4:
             x, stage_s = residual_stage_apply(
                 params["blocks"][lo:hi], state["blocks"][lo:hi], x, sp,
                 arch["ks_idx"][lo:hi], arch["mid"][lo:hi], arch["depth"][stage],
-                act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat)
+                act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
+                expand_switch=getattr(self, 'expand_switch', False))
             blocks_new_s.extend(stage_s)
         new_s["blocks"] = blocks_new_s
 

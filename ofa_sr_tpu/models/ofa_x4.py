@@ -132,7 +132,8 @@ class OFAMobileNetX4:
                 arch["ks_idx"][base_b + lo:base_b + hi],
                 arch["mid"][base_b + lo:base_b + hi],
                 arch["depth"][base_s + stage],
-                act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat)
+                act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
+                expand_switch=getattr(self, 'expand_switch', False))
             new_states.extend(stage_s)
         return x, new_states
 

@@ -45,7 +45,8 @@ class SRTrainer:
     def __init__(self, net, *, opt_type="adam", weight_decay=3e-5,
                  momentum=0.9, nesterov=True, kd_ratio=0.0,
                  mode: str = "sr", bn_frozen: bool = False,
-                 teacher_net=None, compute_dtype=None, remat=None):
+                 teacher_net=None, compute_dtype=None, remat=None,
+                 expand_switch=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -62,6 +63,13 @@ class SRTrainer:
         # None -> remat during training (needed at f32; bf16 activations may
         # fit without it — pass False to trade memory for ~17% fewer FLOPs)
         self.remat = remat
+        # expand_switch: compile a lax.switch branch per expand option so a
+        # sampled width executes only its own FLOPs (masking pays max width).
+        # Measured on v5e at the reference envelope: 3.53 ms/step vs 2.94
+        # masked (the ~25% FLOPs saving is eaten by the full-block remat the
+        # branch buffers force, narrower matmuls, and switch overhead) with
+        # ~5x compile time — correctness-tested, default off.
+        net.expand_switch = expand_switch
         self._tx = None
 
     # -- optimizer ------------------------------------------------------------

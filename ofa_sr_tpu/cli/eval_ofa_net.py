@@ -35,6 +35,9 @@ def build_args(argv=None):
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--arch_seed", type=int, default=0,
                    help="seed for sample_arch; -1 = max subnet")
+    p.add_argument("--materialize", action="store_true",
+                   help="slice + jit the static subnet (deployment path, "
+                        "get_active_subnet equivalent)")
     p.add_argument("--manual_seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -63,6 +66,21 @@ def main(argv=None):
             else net.sample_arch(seed=args.arch_seed))
     # the canonical deployment path: BN recalibration before eval
     rm.reset_running_statistics(arch, n_images=min(2000, 64), batch_size=32)
+    if args.materialize:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from ..models.materialize_cls import get_active_cls_subnet
+        from ..train.cls_trainer import topk_accuracy
+        sub = jax.jit(get_active_cls_subnet(net, rm.params, rm.state, arch))
+        top1s = []
+        for batch in provider.test:
+            logits = sub(jnp.asarray(batch["image"]))
+            top1s.append(float(topk_accuracy(logits, jnp.asarray(batch["label"]), 1)))
+        top1 = float(np.mean(top1s))
+        rm.write_log("materialized %s: top1 %.2f" % (arch.describe()[:50], top1),
+                     "valid")
+        return top1
     loss, top1, top5 = rm.validate(arch)
     rm.write_log("eval %s: loss %.4f top1 %.2f top5 %.2f"
                  % (arch.describe()[:60], loss, top1, top5), "valid")

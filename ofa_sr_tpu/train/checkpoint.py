@@ -222,6 +222,62 @@ def import_torch_x4(path_or_sd, net):
     return jax.tree.map(jnp.asarray, (p, s))
 
 
+def import_torch_mbv3(path_or_sd, net):
+    """Reference OFAMobileNetV3 .pth.tar/state_dict -> (params, state) for
+    models.ofa_cls.OFAMobileNetV3 (layout: first_conv, e1-k3 first block,
+    5 elastic stages with SE on stages 2/4/5, final_expand, feature_mix
+    (no BN), linear classifier — ofa_mbv3.py:55-120)."""
+    sd = _load_torch_sd(path_or_sd)
+    p, s = {}, {}
+
+    p["first_conv"], s["first_conv"] = _conv_layer_from(sd, "first_conv")
+
+    fb = "blocks.0.mobile_inverted_conv"
+    dw_w = _dw_oihw_to_hwio(np.asarray(sd[fb + ".depth_conv.conv.weight"],
+                                       np.float32))
+    bn1p, bn1s = _bn_from(sd, fb + ".depth_conv.bn")
+    pl_w = _oihw_to_hwio(np.asarray(sd[fb + ".point_linear.conv.weight"],
+                                    np.float32))
+    bn2p, bn2s = _bn_from(sd, fb + ".point_linear.bn")
+    p["first_block"] = {"dw": {"w": dw_w, "bn": bn1p},
+                        "pl": {"w": pl_w, "bn": bn2p}}
+    s["first_block"] = {"dw": {"bn": bn1s}, "pl": {"bn": bn2s}}
+
+    blocks_p, blocks_s = [], []
+    for i in range(net.n_blocks):
+        bp, bs = _mbconv_from(sd, "blocks.%d" % (i + 1), net.space.ks_list)
+        sep = "blocks.%d.mobile_inverted_conv.depth_conv.se.fc" % (i + 1)
+        if sep + ".reduce.weight" in sd:
+            bp["se"] = {
+                "reduce": {"w": _oihw_to_hwio(np.asarray(
+                    sd[sep + ".reduce.weight"], np.float32)),
+                    "b": np.asarray(sd[sep + ".reduce.bias"], np.float32)},
+                "expand": {"w": _oihw_to_hwio(np.asarray(
+                    sd[sep + ".expand.weight"], np.float32)),
+                    "b": np.asarray(sd[sep + ".expand.bias"], np.float32)},
+            }
+        blocks_p.append(bp)
+        blocks_s.append(bs)
+    p["blocks"], s["blocks"] = blocks_p, blocks_s
+
+    if net.final_expand_width:
+        # MBV3 head: final_expand (+BN) -> pool -> feature_mix (no BN)
+        p["final_expand"], s["final_expand"] = _conv_layer_from(
+            sd, "final_expand_layer")
+        p["feature_mix"] = {"conv": {"w": _oihw_to_hwio(np.asarray(
+            sd["feature_mix_layer.conv.weight"], np.float32))}}
+    else:
+        # proxyless head: feature_mix (+BN) -> pool
+        p["feature_mix"], s["feature_mix"] = _conv_layer_from(
+            sd, "feature_mix_layer")
+    p["classifier"] = {
+        "w": np.ascontiguousarray(
+            np.asarray(sd["classifier.linear.weight"], np.float32).T),
+        "b": np.asarray(sd["classifier.linear.bias"], np.float32),
+    }
+    return jax.tree.map(jnp.asarray, (p, s))
+
+
 def _load_torch_sd(path_or_sd):
     if isinstance(path_or_sd, dict) and not _looks_like_ckpt(path_or_sd):
         return _strip_prefixes(_to_numpy_sd(path_or_sd))

@@ -155,3 +155,66 @@ def test_x4_forward_parity(ref_modules):
         np.testing.assert_allclose(np.asarray(y_ours),
                                    y_ref.numpy().transpose(0, 2, 3, 1),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_mbv3_forward_parity(ref_modules):
+    """The upstream classification supernet must match too (no runtime_depth
+    quirks there — its forward indexes groups globally, ofa_mbv3.py:140-160)."""
+    import jax.numpy as jnp
+    import torch
+    sys.path.insert(0, REF)
+    from ofa.elastic_nn.networks.ofa_mbv3 import OFAMobileNetV3 as RefV3
+
+    from ofa_sr_tpu.models.ofa_cls import ClsArch, OFAMobileNetV3
+    from ofa_sr_tpu.train.checkpoint import import_torch_mbv3
+
+    torch.manual_seed(3)
+    ref = RefV3(n_classes=10, ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4])
+    ref.eval()
+
+    net = OFAMobileNetV3(n_classes=10)
+    params, state = import_torch_mbv3(ref.state_dict(), net)
+
+    rng = np.random.RandomState(0)
+    for seed in range(3):
+        a = net.sample_arch(seed=seed)
+        ref.set_active_subnet(ks=list(a.ks), e=list(a.e), d=list(a.d))
+        x = rng.rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                              net.arch_to_device(a), training=False)
+        np.testing.assert_allclose(np.asarray(y_ours), y_ref,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_proxyless_forward_parity(ref_modules):
+    import jax.numpy as jnp
+    import torch
+    sys.path.insert(0, REF)
+    from ofa.elastic_nn.networks.ofa_proxyless import (
+        OFAProxylessNASNets as RefPx,
+    )
+
+    from ofa_sr_tpu.models.ofa_cls import OFAProxylessNASNets
+    from ofa_sr_tpu.train.checkpoint import import_torch_mbv3
+
+    torch.manual_seed(4)
+    ref = RefPx(n_classes=10, ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4])
+    ref.eval()
+    net = OFAProxylessNASNets(n_classes=10)
+    params, state = import_torch_mbv3(ref.state_dict(), net)
+
+    rng = np.random.RandomState(0)
+    for seed in range(2):
+        a = net.sample_arch(seed=seed)
+        ref.set_active_subnet(ks=list(a.ks), e=list(a.e), d=list(a.d))
+        x = rng.rand(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                              net.arch_to_device(a), training=False)
+        np.testing.assert_allclose(np.asarray(y_ours), y_ref,
+                                   rtol=2e-4, atol=2e-4)

@@ -45,7 +45,7 @@ def test_mbv3_forward_shapes():
     net = OFAMobileNetV3(n_classes=1000)
     p, s = net.init(jax.random.PRNGKey(0))
     arch = net.arch_to_device(net.max_arch())
-    logits, _ = net.apply(p, s, _x(2, 64), arch, training=False)
+    logits, _ = net.apply(p, s, _x(2, 32), arch, training=False)
     assert logits.shape == (2, 1000)
 
 
@@ -53,7 +53,7 @@ def test_proxyless_forward_shapes():
     net = OFAProxylessNASNets(n_classes=1000)
     p, s = net.init(jax.random.PRNGKey(1))
     arch = net.arch_to_device(net.max_arch())
-    logits, _ = net.apply(p, s, _x(1, 64), arch, training=False)
+    logits, _ = net.apply(p, s, _x(1, 32), arch, training=False)
     assert logits.shape == (1, 1000)
 
 

@@ -218,3 +218,39 @@ def test_proxyless_forward_parity(ref_modules):
                               net.arch_to_device(a), training=False)
         np.testing.assert_allclose(np.asarray(y_ours), y_ref,
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_x4_mixed_per_block_parity(ref_modules):
+    """Sampled (non-uniform) per-block ks/e on X4: verifies the enc-then-dec
+    block ordering of the arch arrays against the reference's
+    blocks[2:-2] zip (ofa_mbx4.py:368-372)."""
+    import jax.numpy as jnp
+    import torch
+    from ofa_sr_tpu.models import OFAMobileNetX4, SearchSpace, sample_subnet
+    from ofa_sr_tpu.models.arch import reference_quirk_arch_x4
+    from ofa_sr_tpu.train.checkpoint import import_torch_x4
+
+    _, RefX4 = ref_modules
+    torch.manual_seed(5)
+    ref = RefX4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
+    ref.eval()
+    space = SearchSpace()
+    net = OFAMobileNetX4(space)
+    params, state = import_torch_x4(ref.state_dict(), net)
+
+    rng = np.random.RandomState(7)
+    for seed in (11, 12):
+        cfg = sample_subnet(space, seed=seed, n_trunks=2)
+        ref.set_active_subnet(ks=list(cfg.ks), e=list(cfg.e), d=list(cfg.d),
+                              pixel_d=[cfg.pixel_d])
+        eff = reference_quirk_arch_x4(cfg)
+        x = rng.rand(1, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                              eff.to_device(space), pixel_d=eff.pixel_d,
+                              mode="autoencoder", training=False)
+        np.testing.assert_allclose(np.asarray(y_ours),
+                                   y_ref.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)

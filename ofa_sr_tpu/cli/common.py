@@ -15,7 +15,8 @@ import numpy as np
 
 
 def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
-                    base_lr, warmup_epochs=0, batch_size=16, image_size=96):
+                    base_lr, warmup_epochs=0, batch_size=16, image_size=96,
+                    dynamic_batch_size=1):
     parser.add_argument("--path", type=str, default=path)
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true",
@@ -37,7 +38,8 @@ def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
     parser.add_argument("--dy_conv_scaling_mode", type=int, default=1,
                         help="1: learned kernel-transform matrices; 0: plain slice")
     parser.add_argument("--kd_ratio", type=float, default=0.0)
-    parser.add_argument("--dynamic_batch_size", type=int, default=1)
+    parser.add_argument("--dynamic_batch_size", type=int,
+                        default=dynamic_batch_size)
     return parser
 
 

@@ -70,16 +70,10 @@ def main(argv=None):
     if args.warmstart:
         rm.load_weights(args.warmstart)
 
-    # pin sampling to the single overfit arch: constraints collapse every
-    # dimension to the chosen values
-    constraints = {
-        "ks_candidates": [cfg_arch.ks[0]] if len(set(cfg_arch.ks)) == 1 else None,
-        "expand_candidates": [cfg_arch.e[0]] if len(set(cfg_arch.e)) == 1 else None,
-        "depth_candidates": [cfg_arch.d[0]] if len(set(cfg_arch.d)) == 1 else None,
-        "pixel_d_candidates": [cfg_arch.pixel_d],
-    }
-    constraints = {k: v for k, v in constraints.items() if v is not None}
-    best = rm.train(validate_cfgs=[cfg_arch], constraints=constraints)
+    # pin every training step to the single exact overfit arch (the
+    # reference one_arch_overfit trains exactly one architecture, including
+    # mixed per-block ks/e when sampled)
+    best = rm.train(validate_cfgs=[cfg_arch], fixed_cfg=cfg_arch)
     rm.write_log("oracle overfit done (%s): best psnr %.3f"
                  % (cfg_arch.describe()[:60], best), "valid")
     return best

@@ -61,7 +61,10 @@ def build_args(argv=None):
                    choices=["sr", "autoencoder"],
                    help="sr: decoder-only on bicubic LR (the README config); "
                         "autoencoder: learned downscale + SR")
-    add_common_args(p, path=None, n_epochs=None, base_lr=None, batch_size=16)
+    # warmup_epochs/dynamic_batch_size default to None so the TASK_PHASES
+    # preset values apply unless explicitly overridden on the CLI
+    add_common_args(p, path=None, n_epochs=None, base_lr=None, batch_size=16,
+                    warmup_epochs=None, dynamic_batch_size=None)
     return p.parse_args(argv)
 
 

@@ -59,11 +59,18 @@ def bn_recalibrate(net, params, state, arch, pixel_d, batches, *,
         lambda path, leaf: jnp.full_like(leaf, _SENTINEL) if _is_bn_leaf(path) else leaf,
         state)
 
+    # batch-size-weighted mean, matching the reference's AverageMeter
+    # semantics (elastic_nn/utils.py:44-52) so a partial final calibration
+    # batch doesn't skew the stats
     total, n = None, 0
     for batch in batches:
-        st_i = one_batch(params, st0, jnp.asarray(batch[input_key]))
-        total = st_i if total is None else jax.tree.map(jnp.add, total, st_i)
-        n += 1
+        x = jnp.asarray(batch[input_key])
+        w = x.shape[0]
+        st_i = one_batch(params, st0, x)
+        weighted = jax.tree.map(lambda t: t * w, st_i)
+        total = weighted if total is None else jax.tree.map(
+            jnp.add, total, weighted)
+        n += w
     if n == 0:
         return state
     avg = jax.tree.map(lambda t: t / n, total)

@@ -216,14 +216,20 @@ class SRRunManager:
 
     # -- subnet sampling (host, reference seed contract) -------------------------
 
-    def sample_archs(self, epoch, n_batch, batch_idx, constraints=None):
+    def sample_archs(self, epoch, n_batch, batch_idx, constraints=None,
+                     fixed_cfg: Optional[SubnetConfig] = None):
         sp = self.net.space
         cons = constraints or {}
         archs, descs = [], []
         for k in range(self.run_config.dynamic_batch_size):
             seed = subnet_seed(epoch, n_batch, batch_idx, k)
-            cfg = sample_subnet(sp, seed=seed, n_trunks=self.net.n_trunks,
-                                **cons)
+            if fixed_cfg is not None:
+                # one_arch_overfit: train exactly this architecture every
+                # step (reference train_ofa_net_sr_oracle_video.py:93-103)
+                cfg = fixed_cfg
+            else:
+                cfg = sample_subnet(sp, seed=seed, n_trunks=self.net.n_trunks,
+                                    **cons)
             if self.run_config.reference_quirks:
                 from ..models.arch import (reference_quirk_arch_s4,
                                            reference_quirk_arch_x4)
@@ -235,33 +241,47 @@ class SRRunManager:
 
     # -- train / validate ---------------------------------------------------------
 
-    def train_one_epoch(self, epoch, constraints=None):
+    def train_one_epoch(self, epoch, constraints=None, fixed_cfg=None):
         rc = self.run_config
         loader = self.provider.train
         loader.set_epoch(epoch)
         n_batch = len(loader)
-        losses, psnrs = AverageMeter(), AverageMeter()
+        # epoch meters cover EVERY iteration (reference AverageMeter
+        # semantics, progressive_shrinking.py:210-221); accumulated as lazy
+        # device scalars so no per-step host sync — only write_log is gated
+        # on print_frequency
+        loss_sum = psnr_sum = n_sum = None
         t0 = time.time()
         for i, batch in enumerate(loader):
             lr = lr_at_step(rc.base_lr, epoch, i, n_batch, rc.n_epochs,
                             warmup_epochs=rc.warmup_epochs,
                             warmup_lr=rc.warmup_lr,
                             lr_schedule_type=rc.lr_schedule_type)
-            archs, descs = self.sample_archs(epoch, n_batch, i, constraints)
+            archs, descs = self.sample_archs(epoch, n_batch, i, constraints,
+                                             fixed_cfg)
             dev_batch = self._to_device(batch)
             self.params, self.state, self.opt_state, metrics = self._train_step(
                 self.params, self.state, self.opt_state, dev_batch, archs,
                 jnp.asarray(lr, jnp.float32))
+            n = batch["image"].shape[0]
+            if loss_sum is None:
+                loss_sum = metrics["loss"] * n
+                psnr_sum = metrics["psnr"] * n
+                n_sum = n
+            else:
+                loss_sum = loss_sum + metrics["loss"] * n
+                psnr_sum = psnr_sum + metrics["psnr"] * n
+                n_sum += n
             if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
                 l, p = float(metrics["loss"]), float(metrics["psnr"])
-                losses.update(l, batch["image"].shape[0])
-                psnrs.update(p, batch["image"].shape[0])
                 self.write_log(
                     "Train [%d][%d/%d]\tloss %.5f\tpsnr %.3f\tlr %.3g\t%s\t%.1fs"
                     % (epoch + 1, i + 1, n_batch, l, p, lr,
                        descs[0].describe()[:48], time.time() - t0),
                     prefix="train", should_print=False)
-        return losses.avg, psnrs.avg
+        if loss_sum is None:
+            return 0.0, 0.0
+        return float(loss_sum) / n_sum, float(psnr_sum) / n_sum
 
     def validate(self, cfg: Optional[SubnetConfig] = None, loader=None,
                  recalib_loader=None):
@@ -290,13 +310,16 @@ class SRRunManager:
         return losses.avg, psnrs.avg
 
     def train(self, validate_cfgs: Optional[Sequence[SubnetConfig]] = None,
-              constraints=None):
+              constraints=None, fixed_cfg: Optional[SubnetConfig] = None):
         """Epoch loop + periodic validation + best-checkpoint gating
-        (sr_run_manager.py:516-541 / progressive_shrinking.py:227-254)."""
+        (sr_run_manager.py:516-541 / progressive_shrinking.py:227-254).
+        fixed_cfg pins every step to one exact architecture (oracle
+        one_arch_overfit)."""
         rc = self.run_config
         for epoch in range(self.start_epoch, rc.n_epochs + rc.warmup_epochs):
             t0 = time.time()
-            tr_loss, tr_psnr = self.train_one_epoch(epoch, constraints)
+            tr_loss, tr_psnr = self.train_one_epoch(epoch, constraints,
+                                                    fixed_cfg)
             log = "Epoch %d: train loss %.5f, psnr %.3f (%.1fs)" % (
                 epoch + 1, tr_loss, tr_psnr, time.time() - t0)
             if (epoch + 1) % rc.validation_frequency == 0:

@@ -30,10 +30,12 @@ def validate_grid(run_manager: SRRunManager, *, ks_list=None, expand_list=None,
     """Cartesian grid of uniform subnet settings, each validated
     (progressive_shrinking.py:45-91). Returns (mean_loss, mean_psnr, log)."""
     sp = run_manager.net.space
-    ks_list = ks_list or sp.ks_list
-    expand_list = expand_list or sp.expand_list
-    depth_list = depth_list or sp.depth_list
-    pixel_d_list = pixel_d_list or sp.pixel_d_list
+    # default grid pins each dimension to its min/max corners, like the
+    # reference's validate_func_dict (train_ofa_net_sr_simple.py:227-232)
+    ks_list = ks_list or _min_max(sp.ks_list)
+    expand_list = expand_list or _min_max(sp.expand_list)
+    depth_list = depth_list or _min_max(sp.depth_list)
+    pixel_d_list = pixel_d_list or sorted(sp.pixel_d_list)
 
     losses, psnrs, log = [], [], ""
     for pd in pixel_d_list:
@@ -55,11 +57,24 @@ def _stage_file(run_manager, task):
 
 
 def load_stage_info(run_manager, task):
-    try:
-        with open(_stage_file(run_manager, task)) as f:
-            return json.load(f)
-    except Exception:
+    """Missing file -> fresh curriculum; a *corrupt* file fails loudly
+    rather than silently restarting at stage 0 (a silent restart would
+    retrain finished stages and overwrite their checkpoints)."""
+    path = _stage_file(run_manager, task)
+    if not os.path.exists(path):
         return {"stage": 0}
+    with open(path) as f:
+        try:
+            info = json.load(f)
+        except ValueError as e:
+            raise RuntimeError(
+                "corrupt stage file %s: %s — delete it to restart the %s "
+                "curriculum from stage 0" % (path, e, task))
+    if not isinstance(info, dict) or "stage" not in info:
+        raise RuntimeError(
+            "stage file %s has no 'stage' key — delete it to restart the "
+            "%s curriculum from stage 0" % (path, task))
+    return info
 
 
 def save_stage_info(run_manager, task, info):

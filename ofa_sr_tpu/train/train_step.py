@@ -97,12 +97,27 @@ class SRTrainer:
             params = jax.tree.map(lambda a: a.astype(cd), params)
             batch = {k: v.astype(cd) for k, v in batch.items()}
         if self.mode == "autoencoder":
+            pds = sorted(self.net.space.pixel_d_list)
+
             def f(pd):
                 return lambda _: self.net.apply(
                     params, state, batch["image"], arch, pixel_d=pd,
                     mode="autoencoder", **kw)
         else:
-            inputs = {1: batch["x2"], 2: batch["x4"]}
+            # Branch only over the LR keys actually present: paired datasets
+            # (codec decoder — data/providers.py PairedImageDataset) emit a
+            # single xN key matching their LR/HR ratio, mirroring the
+            # reference's comment-toggled input selection
+            # (progressive_shrinking.py:177-180).
+            inputs = {pd: batch["x%d" % (2 ** pd)]
+                      for pd in self.net.space.pixel_d_list
+                      if "x%d" % (2 ** pd) in batch}
+            if not inputs:
+                raise KeyError(
+                    "batch has no LR input key (expected one of %s)"
+                    % ["x%d" % (2 ** pd)
+                       for pd in self.net.space.pixel_d_list])
+            pds = sorted(inputs)
 
             def f(pd):
                 if hasattr(self.net, "decode"):  # X4 in sr mode: decoder only
@@ -112,7 +127,6 @@ class SRTrainer:
                 return lambda _: self.net.apply(
                     params, state, inputs[pd], arch, pixel_d=pd, **kw)
 
-        pds = sorted(self.net.space.pixel_d_list)
         if len(pds) == 1:
             return f(pds[0])(None)
         # lax.switch over the possible pixel depths (2 in the reference)
@@ -151,7 +165,8 @@ class SRTrainer:
             teacher_out = None
             if self.kd_ratio > 0 and self.teacher_net is not None:
                 teacher_out, _ = self.teacher_net.apply(
-                    teacher_params, teacher_state, batch["x2"], teacher_arch,
+                    teacher_params, teacher_state,
+                    batch["x%d" % (2 ** teacher_pixel_d)], teacher_arch,
                     pixel_d=teacher_pixel_d, training=False)
                 teacher_out = lax.stop_gradient(teacher_out)
 

@@ -148,7 +148,15 @@ def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
 
 def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                  act="relu6", training=False, bn_cfg=None, stride=1,
-                 se_mid=None, expand_switch=False):
+                 se_mid=None, expand_switch=False, out_ch=None):
+    if out_ch is not None:
+        # runtime elastic output width (DynamicMBConvLayer
+        # active_out_channel, dynamic_layers.py:69-80) — masked mode only
+        assert not expand_switch, "elastic width needs masked execution"
+        return _masked_mbconv_apply(p, s, x, space, ks_idx, mid, act=act,
+                                    training=training, bn_cfg=bn_cfg,
+                                    stride=stride, se_mid=se_mid,
+                                    out_ch=out_ch)
     if expand_switch and "se" not in p and len(space.expand_list) > 1:
         # compile one branch per expand option: only the sampled width's
         # FLOPs execute (masking always pays the max width)
@@ -168,7 +176,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 
 def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                          act="relu6", training=False, bn_cfg=None, stride=1,
-                         se_mid=None):
+                         se_mid=None, out_ch=None):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
     is the active middle width (both traced int32 scalars); `se_mid` the
     active SE bottleneck width when the block has squeeze-excite.
@@ -221,10 +229,16 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
         g = conv2d(g, se["expand"]["w"]) + se["expand"]["b"]
         y = y * h_sigmoid(g) * mask
 
-    # point linear 1x1 (+BN, no act)
+    # point linear 1x1 (+BN, no act); out_mask = runtime elastic output
+    # width (the masked equivalent of weight[:active_out_channel] slicing,
+    # dynamic_op.py:104-112)
+    out_mask = None
+    if out_ch is not None:
+        max_out = p["point_linear"]["conv"]["w"].shape[-1]
+        out_mask = channel_mask(out_ch, max_out, x.dtype)
     y = conv2d(y, p["point_linear"]["conv"]["w"])
     y, bn_pl = batch_norm(y, p["point_linear"]["bn"], s["point_linear"]["bn"],
-                          training=training, **bn_cfg)
+                          training=training, mask=out_mask, **bn_cfg)
     new_s["point_linear"] = {"bn": bn_pl}
     return y, new_s
 

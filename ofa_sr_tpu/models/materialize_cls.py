@@ -39,30 +39,50 @@ class StaticClsSubnet:
         fb = dict(fold_bn=fold_bn, eps=self.eps)
         sp = net.space
 
-        m = {"first_conv": _conv_bn(params["first_conv"], state["first_conv"], **fb)}
+        # runtime elastic width: slice every layer to the wid's widths
+        # (DynamicConvLayer/DynamicMBConvLayer.get_active_subnet,
+        # dynamic_layers.py:254-269,112-154)
+        wid = (len(net.width_mult_list) - 1 if arch.wid is None
+               else arch.wid)
+        fw = net.first_conv_widths[wid]
+        fbo = net.first_block_outs[wid]
+        ins, outs = net.active_block_channels(wid)
+        self._head_in = outs[-1] if outs else fbo
+
+        def slice_cb(p, s, n_out, n_in=None, dw=False):
+            w = p["conv"]["w"]
+            w = w[:, :, :, :n_out] if dw or n_in is None else \
+                w[:, :, :n_in, :n_out]
+            p_bn, s_bn = _slice_bn(p["bn"], s["bn"], n_out)
+            return _conv_bn({"conv": {"w": w}, "bn": p_bn}, {"bn": s_bn}, **fb)
+
+        m = {"first_conv": slice_cb(params["first_conv"],
+                                    state["first_conv"], fw)}
         fbk = params["first_block"]
         fbs = state["first_block"]
         m["first_block"] = {
-            "dw": _conv_bn({"conv": {"w": fbk["dw"]["w"]}, "bn": fbk["dw"]["bn"]},
-                           {"bn": fbs["dw"]["bn"]}, **fb),
-            "pl": _conv_bn({"conv": {"w": fbk["pl"]["w"]}, "bn": fbk["pl"]["bn"]},
-                           {"bn": fbs["pl"]["bn"]}, **fb),
+            "dw": slice_cb({"conv": {"w": fbk["dw"]["w"]},
+                            "bn": fbk["dw"]["bn"]},
+                           {"bn": fbs["dw"]["bn"]}, fw, dw=True),
+            "pl": slice_cb({"conv": {"w": fbk["pl"]["w"]},
+                            "bn": fbk["pl"]["bn"]},
+                           {"bn": fbs["pl"]["bn"]}, fbo, n_in=fw),
         }
 
-        layout = net.block_layout()
         stages, bi = [], 0
         for si, spec in enumerate(net.stage_specs):
             blocks = []
             for i in range(spec.n_block):
                 active = i == 0 or i < arch.d[si]
                 if active:
-                    in_ch = layout[bi][0]
+                    in_ch, out_ch = ins[bi], outs[bi]
                     mid = make_divisible(round(in_ch * arch.e[bi]), 8)
                     bp, bs = params["blocks"][bi], state["blocks"][bi]
                     blk = {"stride": spec.stride if i == 0 else 1,
                            "act": spec.act, "mid": mid,
                            "residual": i > 0}
-                    w_ib = bp["inverted_bottleneck"]["conv"]["w"][:, :, :, :mid]
+                    w_ib = bp["inverted_bottleneck"]["conv"]["w"][
+                        :, :, :in_ch, :mid]
                     p_bn, s_bn = _slice_bn(bp["inverted_bottleneck"]["bn"],
                                            bs["inverted_bottleneck"]["bn"], mid)
                     blk["ib"] = _conv_bn({"conv": {"w": w_ib}, "bn": p_bn},
@@ -83,23 +103,33 @@ class StaticClsSubnet:
                             "ew": bp["se"]["expand"]["w"][:, :, :se_mid, :mid],
                             "eb": bp["se"]["expand"]["b"][:mid],
                         }
-                    w_pl = bp["point_linear"]["conv"]["w"][:, :, :mid, :]
-                    blk["pl"] = _conv_bn({"conv": {"w": w_pl},
-                                          "bn": bp["point_linear"]["bn"]},
-                                         {"bn": bs["point_linear"]["bn"]}, **fb)
+                    w_pl = bp["point_linear"]["conv"]["w"][:, :, :mid, :out_ch]
+                    pl_bn_p, pl_bn_s = _slice_bn(bp["point_linear"]["bn"],
+                                                 bs["point_linear"]["bn"],
+                                                 out_ch)
+                    blk["pl"] = _conv_bn({"conv": {"w": w_pl}, "bn": pl_bn_p},
+                                         {"bn": pl_bn_s}, **fb)
                     blocks.append(blk)
                 bi += 1
             stages.append(blocks)
         m["stages"] = stages
 
+        fm_w = net.feature_mix_widths[wid]
         if net.final_expand_width:
-            m["final_expand"] = _conv_bn(params["final_expand"],
-                                         state["final_expand"], **fb)
+            fe = params["final_expand"]
+            m["final_expand"] = _conv_bn(
+                {"conv": {"w": fe["conv"]["w"][:, :, :self._head_in, :]},
+                 "bn": fe["bn"]}, state["final_expand"], **fb)
             m["feature_mix"] = {"w": params["feature_mix"]["conv"]["w"]}
+            m["classifier"] = dict(params["classifier"])
         else:
-            m["feature_mix"] = _conv_bn(params["feature_mix"],
-                                        state["feature_mix"], **fb)
-        m["classifier"] = dict(params["classifier"])
+            m["feature_mix"] = slice_cb(
+                {"conv": {"w": params["feature_mix"]["conv"]["w"][
+                    :, :, :self._head_in, :]},
+                 "bn": params["feature_mix"]["bn"]},
+                state["feature_mix"], fm_w)
+            m["classifier"] = {"w": params["classifier"]["w"][:fm_w, :],
+                               "b": params["classifier"]["b"]}
         self.params = m
 
     def _post(self, lp, y, act=None):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.activations import apply_act
 from ..ops.conv import conv2d, conv_init, depthwise_conv2d, depthwise_conv_init
+from ..ops.elastic import channel_mask
 from ..ops.norm import batch_norm, bn_init
 from ..utils.common import int2list, make_divisible
 from .arch import SearchSpace
@@ -47,13 +48,19 @@ class StageSpec:
 @dataclasses.dataclass(frozen=True)
 class ClsArch:
     """A sampled classification subnet: ks/e per elastic block, depth per
-    stage (pixel_d has no meaning here)."""
+    stage (pixel_d has no meaning here). `wid` indexes width_mult_list
+    (runtime elastic width, ofa_mbv3.py:215-216); None = max width — the
+    reference's own sampler always returns wid=None (ofa_mbv3.py:257-258)."""
     ks: tuple
     e: tuple
     d: tuple
+    wid: Optional[int] = None
 
     def describe(self):
-        return "ks%s_e%s_d%s" % (list(self.ks), list(self.e), list(self.d))
+        s = "ks%s_e%s_d%s" % (list(self.ks), list(self.e), list(self.d))
+        if self.wid is not None:
+            s += "_w%d" % self.wid
+        return s
 
 
 class ElasticClassifierNet:
@@ -62,25 +69,47 @@ class ElasticClassifierNet:
                  final_expand_width=None, feature_mix_width=1280,
                  head_act="h_swish", ks_list=(3, 5, 7), expand_list=(3, 4, 6),
                  depth_list=(2, 3, 4), dropout_rate=0.1, bn_momentum=0.1,
-                 bn_eps=1e-5, use_transform=True, width_mult=1.0):
-        wm = width_mult
+                 bn_eps=1e-5, use_transform=True, width_mult=1.0,
+                 width_mult_list=None, head_width_mode="mbv3"):
+        # width_mult_list with >1 entries = runtime elastic width: weights
+        # live at max width, arch['wid'] selects the active widths per
+        # forward (ofa_mbv3.py:19-71; wid slot ofa_mbv3.py:215-216)
+        wml = sorted(width_mult_list) if width_mult_list else [width_mult]
+        self.width_mult_list = wml
         self.space = SearchSpace(ks_list=list(ks_list),
                                  expand_list=list(expand_list),
                                  depth_list=list(depth_list),
                                  pixel_d_list=[1],
                                  n_stages=len(stage_specs),
                                  width=first_conv_width)
-        self.stage_specs = [dataclasses.replace(
-            sp, width=make_divisible(sp.width * wm, 8)) for sp in stage_specs]
-        self.first_conv_width = make_divisible(first_conv_width * wm, 8)
+        # per-entity width lists indexed by wid (width_list, ofa_mbv3.py:50-53)
+        self.stage_width_lists = [
+            [make_divisible(sp.width * wm, 8) for wm in wml]
+            for sp in stage_specs]
+        self.stage_specs = [dataclasses.replace(sp, width=max(wl))
+                            for sp, wl in zip(stage_specs,
+                                              self.stage_width_lists)]
+        self.first_conv_widths = [make_divisible(first_conv_width * wm, 8)
+                                  for wm in wml]
+        self.first_conv_width = max(self.first_conv_widths)
         self.first_conv_act = first_conv_act
         self.first_block_act = first_block_act
-        self.final_expand_width = (
-            make_divisible(final_expand_width * max(wm, 1.0), 8)
-            if final_expand_width else None)
-        self.feature_mix_width = (
-            make_divisible(feature_mix_width * wm, 8) if wm > 1.0
-            else feature_mix_width)
+        if head_width_mode == "mbv3":
+            # MBV3 scales both head widths by max(width_mult_list) for every
+            # entry — the head is NOT elastic (ofa_mbv3.py:34-39)
+            self.final_expand_width = (
+                make_divisible(final_expand_width * max(wml), 8)
+                if final_expand_width else None)
+            self.feature_mix_widths = [
+                make_divisible(feature_mix_width * max(wml), 8)] * len(wml)
+        else:
+            # proxyless last_channel: scaled only when width_mult > 1
+            # (ofa_proxyless.py:38-41) — elastic iff some entry exceeds 1.0
+            self.final_expand_width = None
+            self.feature_mix_widths = [
+                make_divisible(feature_mix_width * wm, 8) if wm > 1.0
+                else feature_mix_width for wm in wml]
+        self.feature_mix_width = max(self.feature_mix_widths)
         self.head_act = head_act
         self.n_classes = n_classes
         self.dropout_rate = dropout_rate
@@ -89,6 +118,43 @@ class ElasticClassifierNet:
         self.n_trunks = 1
 
     # -- geometry ---------------------------------------------------------------
+
+    @property
+    def first_block_outs(self):
+        fbo = getattr(self, "_first_block_outs", None)
+        if fbo is None:  # nets built directly with a scalar _first_block_out
+            fbo = [self._first_block_out] * len(self.width_mult_list)
+        return fbo
+
+    @property
+    def _elastic_first(self):
+        return len(set(self.first_conv_widths)) > 1
+
+    @property
+    def _elastic_fb(self):
+        return len(set(self.first_block_outs)) > 1
+
+    @property
+    def _elastic_stages(self):
+        return [len(set(wl)) > 1 for wl in self.stage_width_lists]
+
+    @property
+    def _elastic_fm(self):
+        return len(set(self.feature_mix_widths)) > 1
+
+    def active_block_channels(self, wid):
+        """(in_ch, out_ch) per elastic block at width index `wid` — the
+        widths the reference's sliced forward would see (x.size(1) input
+        width, dynamic_layers.py:71-76)."""
+        ins, outs = [], []
+        in_ch = self.first_block_outs[wid]
+        for si, sp in enumerate(self.stage_specs):
+            w = self.stage_width_lists[si][wid]
+            for _ in range(sp.n_block):
+                ins.append(in_ch)
+                outs.append(w)
+                in_ch = w
+        return ins, outs
 
     def block_layout(self):
         """[(in_ch, out_ch, stride, act, se, stage_idx, pos_in_stage)] over
@@ -109,18 +175,21 @@ class ElasticClassifierNet:
     # -- arch sampling / conversion -----------------------------------------------
 
     def sample_arch(self, seed=None, ks_candidates=None, expand_candidates=None,
-                    depth_candidates=None) -> ClsArch:
-        """Reference draw order (ofa_mbv3.py:320-366): all ks, all e, then
-        per-stage d."""
+                    depth_candidates=None, wid_candidates=None) -> ClsArch:
+        """Reference draw order (ofa_mbv3.py:320-366): (wid,) all ks, all e,
+        then per-stage d. The reference sampler never draws wid
+        (width_mult_setting=None, ofa_mbv3.py:257-258); pass wid_candidates
+        to enable it."""
         if seed is not None:
             random.seed(seed)
         ks_c = ks_candidates or self.space.ks_list
         e_c = expand_candidates or self.space.expand_list
         d_c = depth_candidates or self.space.depth_list
+        wid = random.choice(wid_candidates) if wid_candidates else None
         ks = [random.choice(ks_c) for _ in range(self.n_blocks)]
         e = [random.choice(e_c) for _ in range(self.n_blocks)]
         d = [random.choice(d_c) for _ in range(len(self.stage_specs))]
-        return ClsArch(tuple(ks), tuple(e), tuple(d))
+        return ClsArch(tuple(ks), tuple(e), tuple(d), wid)
 
     def max_arch(self) -> ClsArch:
         sp = self.space
@@ -130,8 +199,10 @@ class ElasticClassifierNet:
 
     def arch_to_device(self, a: ClsArch):
         ks_set = list(self.space.ks_list)
+        wid = len(self.width_mult_list) - 1 if a.wid is None else a.wid
+        ins, outs = self.active_block_channels(wid)
         mids, se_mids = [], []
-        for (in_ch, _, _, _, _, _, _), e in zip(self.block_layout(), a.e):
+        for in_ch, e in zip(ins, a.e):
             mid = make_divisible(round(in_ch * e), 8)
             mids.append(mid)
             se_mids.append(make_divisible(mid // 4, 8))
@@ -140,6 +211,12 @@ class ElasticClassifierNet:
             "mid": jnp.asarray(mids, jnp.int32),
             "se_mid": jnp.asarray(se_mids, jnp.int32),
             "depth": jnp.asarray(a.d, jnp.int32),
+            # runtime elastic width (unused structurally when every width
+            # list is a singleton)
+            "out_ch": jnp.asarray(outs, jnp.int32),
+            "first_w": jnp.asarray(self.first_conv_widths[wid], jnp.int32),
+            "fb_out": jnp.asarray(self.first_block_outs[wid], jnp.int32),
+            "fm_w": jnp.asarray(self.feature_mix_widths[wid], jnp.int32),
         }
 
     # -- init -------------------------------------------------------------------
@@ -209,7 +286,7 @@ class ElasticClassifierNet:
         # MBV3's first block keeps width (16->16); proxyless narrows 32->16 —
         # expressed as stage_specs[0] input channel in block_layout, so the
         # first *elastic* stage input == first_block_out.
-        return self._first_block_out
+        return max(self.first_block_outs)
 
     # -- forward ----------------------------------------------------------------
 
@@ -219,34 +296,45 @@ class ElasticClassifierNet:
         bn_cfg = self.bn_cfg
         new_s = {}
 
+        # elastic-width masks (None wherever the width list is a singleton,
+        # keeping the compiled program identical to the fixed-width one)
+        fc_mask = (channel_mask(arch["first_w"], self.first_conv_width)
+                   if self._elastic_first else None)
+        fb_mask = (channel_mask(arch["fb_out"], self.first_block_out)
+                   if self._elastic_fb else None)
+
         y = conv2d(x, params["first_conv"]["conv"]["w"], stride=2)
         y, bns = batch_norm(y, params["first_conv"]["bn"],
-                            state["first_conv"]["bn"], training=bnt, **bn_cfg)
+                            state["first_conv"]["bn"], training=bnt,
+                            mask=fc_mask, **bn_cfg)
         y = apply_act(y, self.first_conv_act)
         new_s["first_conv"] = {"bn": bns}
 
         fb = params["first_block"]
         h = depthwise_conv2d(y, fb["dw"]["w"])
         h, bn1 = batch_norm(h, fb["dw"]["bn"], state["first_block"]["dw"]["bn"],
-                            training=bnt, **bn_cfg)
+                            training=bnt, mask=fc_mask, **bn_cfg)
         h = apply_act(h, self.first_block_act)
         h = conv2d(h, fb["pl"]["w"])
         h, bn2 = batch_norm(h, fb["pl"]["bn"], state["first_block"]["pl"]["bn"],
-                            training=bnt, **bn_cfg)
+                            training=bnt, mask=fb_mask, **bn_cfg)
         if self.first_block_out == self.first_conv_width:
             y = y + h  # identity shortcut (MBV3)
         else:
             y = h      # proxyless narrows: no shortcut
         new_s["first_block"] = {"dw": {"bn": bn1}, "pl": {"bn": bn2}}
 
-        def block_fn(bp, bs, xx, k_i, m_i, sm_i, stride, act):
+        def block_fn(bp, bs, xx, k_i, m_i, sm_i, o_i, stride, act,
+                     elastic_out):
             return mbconv_apply(bp, bs, xx, self.space, k_i, m_i,
                                 act=act, training=bnt, bn_cfg=bn_cfg,
-                                stride=stride, se_mid=sm_i)
+                                stride=stride, se_mid=sm_i,
+                                out_ch=o_i if elastic_out else None)
 
         if remat:
-            block_fn = jax.checkpoint(block_fn, static_argnums=(6, 7))
+            block_fn = jax.checkpoint(block_fn, static_argnums=(7, 8, 9))
 
+        elastic_stages = self._elastic_stages
         blocks_new_s = []
         bi = 0
         for si, spc in enumerate(self.stage_specs):
@@ -255,7 +343,9 @@ class ElasticClassifierNet:
                 bp, bs = params["blocks"][bi], state["blocks"][bi]
                 out, ns = block_fn(bp, bs, y, arch["ks_idx"][bi],
                                    arch["mid"][bi], arch["se_mid"][bi],
-                                   spc.stride if i == 0 else 1, spc.act)
+                                   arch["out_ch"][bi],
+                                   spc.stride if i == 0 else 1, spc.act,
+                                   elastic_stages[si])
                 if i == 0:
                     # first block of a stage always runs (depth >= 1); no
                     # residual (stride/width change)
@@ -280,11 +370,15 @@ class ElasticClassifierNet:
             y = apply_act(y, self.head_act)
             y = y[:, 0, 0, :]
         else:
+            fm_mask = (channel_mask(arch["fm_w"], self.feature_mix_width)
+                       if self._elastic_fm else None)
             y = conv2d(y, params["feature_mix"]["conv"]["w"])
             y, bns = batch_norm(y, params["feature_mix"]["bn"],
                                 state["feature_mix"]["bn"], training=bnt,
-                                **bn_cfg)
+                                mask=fm_mask, **bn_cfg)
             y = apply_act(y, self.head_act)
+            if fm_mask is not None:
+                y = y * fm_mask  # elastic classifier input == sliced weight
             new_s["feature_mix"] = {"bn": bns}
             y = jnp.mean(y, axis=(1, 2))  # ofa_proxyless.py:156
 
@@ -298,7 +392,8 @@ class ElasticClassifierNet:
 
 def OFAMobileNetV3(n_classes=1000, ks_list=(3, 5, 7), expand_list=(3, 4, 6),
                    depth_list=(2, 3, 4), width_mult=1.0, dropout_rate=0.1,
-                   bn_momentum=0.1, bn_eps=1e-5, use_transform=True):
+                   bn_momentum=0.1, bn_eps=1e-5, use_transform=True,
+                   width_mult_list=None):
     net = ElasticClassifierNet(
         n_classes=n_classes,
         stage_specs=[
@@ -312,15 +407,18 @@ def OFAMobileNetV3(n_classes=1000, ks_list=(3, 5, 7), expand_list=(3, 4, 6),
         final_expand_width=960, feature_mix_width=1280, head_act="h_swish",
         ks_list=ks_list, expand_list=expand_list, depth_list=depth_list,
         dropout_rate=dropout_rate, bn_momentum=bn_momentum, bn_eps=bn_eps,
-        use_transform=use_transform, width_mult=width_mult)
-    net._first_block_out = net.first_conv_width
+        use_transform=use_transform, width_mult=width_mult,
+        width_mult_list=width_mult_list, head_width_mode="mbv3")
+    # MBV3's first block keeps the first-conv width (ofa_mbv3.py:57-72)
+    net._first_block_outs = list(net.first_conv_widths)
     return net
 
 
 def OFAProxylessNASNets(n_classes=1000, ks_list=(3, 5, 7),
                         expand_list=(3, 4, 6), depth_list=(2, 3, 4),
                         width_mult=1.0, dropout_rate=0.1, bn_momentum=0.1,
-                        bn_eps=1e-3, use_transform=True):
+                        bn_eps=1e-3, use_transform=True,
+                        width_mult_list=None):
     md = max(depth_list)
     net = ElasticClassifierNet(
         n_classes=n_classes,
@@ -336,6 +434,10 @@ def OFAProxylessNASNets(n_classes=1000, ks_list=(3, 5, 7),
         final_expand_width=None, feature_mix_width=1280, head_act="relu6",
         ks_list=ks_list, expand_list=expand_list, depth_list=depth_list,
         dropout_rate=dropout_rate, bn_momentum=bn_momentum, bn_eps=bn_eps,
-        use_transform=use_transform, width_mult=width_mult)
-    net._first_block_out = make_divisible(16 * width_mult, 8)
+        use_transform=use_transform, width_mult=width_mult,
+        width_mult_list=width_mult_list, head_width_mode="proxyless")
+    # proxyless first block narrows 32->16 (first_block_width,
+    # ofa_proxyless.py:37)
+    net._first_block_outs = [make_divisible(16 * wm, 8)
+                             for wm in net.width_mult_list]
     return net

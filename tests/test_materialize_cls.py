@@ -50,3 +50,26 @@ def test_cls_materialized_proxyless_head():
     sub = get_active_cls_subnet(net, p, s, arch)
     np.testing.assert_allclose(np.asarray(sub(x)), np.asarray(y_super),
                                rtol=3e-4, atol=3e-5)
+
+
+def test_cls_materialized_elastic_width():
+    """wid slicing: the materialized subnet at each width index matches the
+    masked supernet forward (both MBV3- and proxyless-style nets)."""
+    from ofa_sr_tpu.models.ofa_cls import (
+        ClsArch,
+        OFAMobileNetV3,
+        OFAProxylessNASNets,
+    )
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32))
+    for make in (OFAMobileNetV3, OFAProxylessNASNets):
+        net = make(n_classes=7, width_mult_list=[0.65, 1.0])
+        p, s = net.init(jax.random.PRNGKey(2))
+        base = net.sample_arch(seed=5)
+        for wid in (0, 1, None):
+            arch = ClsArch(base.ks, base.e, base.d, wid)
+            y_super, _ = net.apply(p, s, x, net.arch_to_device(arch),
+                                   training=False)
+            sub = get_active_cls_subnet(net, p, s, arch, fold_bn=False)
+            np.testing.assert_allclose(np.asarray(sub(x)),
+                                       np.asarray(y_super),
+                                       rtol=3e-4, atol=3e-5)

@@ -254,3 +254,119 @@ def test_x4_mixed_per_block_parity(ref_modules):
         np.testing.assert_allclose(np.asarray(y_ours),
                                    y_ref.transpose(0, 2, 3, 1),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_mbv3_elastic_width_parity(ref_modules):
+    """Runtime elastic width (width_mult_list=[0.65, 1.0]): wid=None must
+    match the reference net as built (it always runs at max width —
+    sample_active_subnet sets wid=None, ofa_mbv3.py:257-258); wid=0 must
+    match the reference with every layer's active width set the way the
+    upstream OFA applies a width choice (active_out_channel attributes on
+    DynamicConvLayer/DynamicMBConvLayer, dynamic_layers.py:69-80,224-227)."""
+    import jax.numpy as jnp
+    import torch
+    sys.path.insert(0, REF)
+    from ofa.elastic_nn.networks.ofa_mbv3 import OFAMobileNetV3 as RefV3
+
+    from ofa_sr_tpu.models.ofa_cls import ClsArch, OFAMobileNetV3
+    from ofa_sr_tpu.train.checkpoint import import_torch_mbv3
+
+    torch.manual_seed(6)
+    wml = [0.65, 1.0]
+    ref = RefV3(n_classes=10, width_mult_list=wml, ks_list=[3, 5, 7],
+                expand_ratio_list=[3, 4, 6], depth_list=[2, 3, 4])
+    # train-mode BN: at random init the eval-mode trunk collapses to ~1e-9
+    # (bias-dominated logits), which would make this test vacuous
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    net = OFAMobileNetV3(n_classes=10, width_mult_list=wml)
+    params, state = import_torch_mbv3(ref.state_dict(), net)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    a = net.sample_arch(seed=9)
+    ref.set_active_subnet(ks=list(a.ks), e=list(a.e), d=list(a.d))
+
+    # wid=None -> max width: reference as-is
+    with torch.no_grad():
+        y_ref = ref(xt).numpy()
+    y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                          net.arch_to_device(a), training=True)
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref,
+                               rtol=2e-4, atol=2e-4)
+
+    # wid=0: set active widths on the reference modules (upstream semantics)
+    wid = 0
+    ins, outs = net.active_block_channels(wid)
+    for blk, out_ch in zip(ref.blocks[1:], outs):
+        blk.mobile_inverted_conv.active_out_channel = out_ch
+    # first conv / first block are static here (width lists collapse to 16)
+    assert not net._elastic_first and not net._elastic_fb
+    with torch.no_grad():
+        y_ref0 = ref(xt).numpy()
+    a0 = ClsArch(a.ks, a.e, a.d, wid=wid)
+    y_ours0, _ = net.apply(params, state, jnp.asarray(x),
+                           net.arch_to_device(a0), training=True)
+    np.testing.assert_allclose(np.asarray(y_ours0), y_ref0,
+                               rtol=2e-4, atol=2e-4)
+    assert np.abs(y_ref0 - y_ref).max() > 1e-5  # width actually matters
+
+
+def test_proxyless_elastic_width_parity(ref_modules):
+    """Proxyless with width_mult_list: the first conv IS elastic there
+    (widths [24, 32]); verifies the first-conv/first-block masks too."""
+    import jax.numpy as jnp
+    import torch
+    sys.path.insert(0, REF)
+    from ofa.elastic_nn.networks.ofa_proxyless import (
+        OFAProxylessNASNets as RefPx,
+    )
+
+    from ofa_sr_tpu.models.ofa_cls import ClsArch, OFAProxylessNASNets
+    from ofa_sr_tpu.train.checkpoint import import_torch_mbv3
+
+    torch.manual_seed(7)
+    wml = [0.65, 1.0]
+    ref = RefPx(n_classes=10, width_mult_list=wml, ks_list=[3, 5, 7],
+                expand_ratio_list=[3, 4, 6], depth_list=[2, 3, 4])
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    net = OFAProxylessNASNets(n_classes=10, width_mult_list=wml)
+    params, state = import_torch_mbv3(ref.state_dict(), net)
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    a = net.sample_arch(seed=4)
+    ref.set_active_subnet(ks=list(a.ks), e=list(a.e), d=list(a.d))
+    with torch.no_grad():
+        y_ref = ref(xt).numpy()
+    y_ours, _ = net.apply(params, state, jnp.asarray(x),
+                          net.arch_to_device(a), training=True)
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref,
+                               rtol=2e-4, atol=2e-4)
+
+    wid = 0
+    ins, outs = net.active_block_channels(wid)
+    assert net._elastic_first
+    ref.first_conv.active_out_channel = net.first_conv_widths[wid]
+    ref.blocks[0].mobile_inverted_conv.active_out_channel = \
+        net.first_block_outs[wid]
+    for blk, out_ch in zip(ref.blocks[1:], outs):
+        blk.mobile_inverted_conv.active_out_channel = out_ch
+    with torch.no_grad():
+        y_ref0 = ref(xt).numpy()
+    a0 = ClsArch(a.ks, a.e, a.d, wid=wid)
+    y_ours0, _ = net.apply(params, state, jnp.asarray(x),
+                           net.arch_to_device(a0), training=True)
+    np.testing.assert_allclose(np.asarray(y_ours0), y_ref0,
+                               rtol=2e-4, atol=2e-4)
+    assert np.abs(y_ref0 - y_ref).max() > 1e-5

@@ -85,12 +85,72 @@ def ofa_net(net_id: str = "ofa_mbv3_d234_e346_k357_w1.0",
     return net, params, state
 
 
-def ofa_specialized(net_id: str, checkpoint: Optional[str] = None):
-    """Return (net, params, state, expected) for a catalog entry. Without a
-    checkpoint the weights are fresh (the reference downloads them)."""
+def ofa_specialized(net_id: str, root: Optional[str] = None,
+                    net_config=None, init: Optional[str] = None,
+                    supernet=None, arch=None):
+    """Build the *actual specialized architecture* and return
+    (static_net, params, state, expected) — the reference ofa_specialized
+    path (model_zoo.py:191-213: download net.config -> build_from_config ->
+    load 'init' weights). No egress here, so the config comes from one of:
+
+    - `root`: a local mirror of .torch/ofa_specialized/ — reads
+      <root>/<net_id>/net.config (+ run.config image_size, + 'init' torch
+      weights if present);
+    - `net_config`: a net.config dict or JSON path (+ optional `init`
+      torch-weights path);
+    - `supernet`=(elastic_net, params, state) and `arch`: slice the subnet
+      out of a trained supernet (get_active_subnet deployment,
+      ofa_mbv3.py:293-317).
+    """
+    import json
+    import os
+
+    import jax
+
+    from .models.net_config import (
+        build_from_config,
+        import_torch_static,
+        specialize,
+    )
+
     if net_id not in SPECIALIZED_CATALOG:
         raise ValueError("unknown specialized net: %s\nknown: %s"
                          % (net_id, sorted(SPECIALIZED_CATALOG)))
-    net, params, state = ofa_net("ofa_mbv3_d234_e346_k357_w1.0", checkpoint)
     expected_top1, note = SPECIALIZED_CATALOG[net_id]
-    return net, params, state, {"top1": expected_top1, "note": note}
+    expected = {"top1": expected_top1, "note": note, "image_size": 224}
+
+    if root is not None:
+        base = os.path.join(root, net_id)
+        with open(os.path.join(base, "net.config")) as f:
+            net_config = json.load(f)
+        run_cfg = os.path.join(base, "run.config")
+        if os.path.exists(run_cfg):
+            with open(run_cfg) as f:
+                expected["image_size"] = json.load(f).get("image_size", 224)
+        init_path = os.path.join(base, "init")
+        if init is None and os.path.exists(init_path):
+            init = init_path
+
+    if net_config is not None:
+        if isinstance(net_config, str):
+            with open(net_config) as f:
+                net_config = json.load(f)
+        static = build_from_config(net_config)
+        if init is not None:
+            params, state = import_torch_static(init, static)
+        else:
+            params, state = static.init(jax.random.PRNGKey(0))
+        return static, params, state, expected
+
+    if supernet is not None and arch is not None:
+        e_net, e_params, e_state = supernet
+        static, params, state = specialize(e_net, e_params, e_state, arch)
+        return static, params, state, expected
+
+    raise ValueError(
+        "ofa_specialized needs an architecture source: pass root= (a local "
+        "mirror of the reference's .torch/ofa_specialized download dir), "
+        "net_config= (a net.config dict/JSON path), or supernet=+arch= "
+        "(slice from a trained supernet). The reference downloads these "
+        "from hanlab.mit.edu (model_zoo.py:191-213); this environment has "
+        "no egress.")

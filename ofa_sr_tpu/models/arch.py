@@ -99,6 +99,22 @@ class SubnetConfig:
     def describe(self) -> str:
         return "ks%s_e%s_d%s_pd%d" % (list(self.ks), list(self.e), list(self.d), self.pixel_d)
 
+    # -- JSON serialization (the SR-side net.config; the reference's own
+    # S4/X4 config plumbing is broken leftovers — mobilenet_s4.py:47,69-73 —
+    # so the schema here is the subnet setting itself) -----------------------
+
+    def to_dict(self) -> dict:
+        return {"name": "SubnetConfig", "ks": list(self.ks),
+                "e": list(self.e), "d": list(self.d),
+                "pixel_d": int(self.pixel_d)}
+
+    @staticmethod
+    def from_dict(d: dict) -> "SubnetConfig":
+        if d.get("name", "SubnetConfig") != "SubnetConfig":
+            raise ValueError("not a SubnetConfig dict: %r" % d.get("name"))
+        return SubnetConfig(ks=tuple(d["ks"]), e=tuple(d["e"]),
+                            d=tuple(d["d"]), pixel_d=int(d["pixel_d"]))
+
 
 def max_subnet(space: SearchSpace, n_trunks: int = 1) -> SubnetConfig:
     n_blocks = space.blocks_per_trunk * n_trunks

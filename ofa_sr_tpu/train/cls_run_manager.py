@@ -21,6 +21,7 @@ import numpy as np
 
 from ..models.arch import subnet_seed
 from ..utils.common import AverageMeter
+from .touched import cls_touched_mask
 from .bn_recalib import bn_recalibrate
 from .checkpoint import load_checkpoint, save_checkpoint
 from .cls_trainer import ClsTrainer
@@ -114,12 +115,13 @@ class ClsRunManager:
 
     def sample_archs(self, epoch, n_batch, batch_idx, constraints=None):
         cons = constraints or {}
-        out = []
+        out, descs = [], []
         for k in range(self.run_config.dynamic_batch_size):
             seed = subnet_seed(epoch, n_batch, batch_idx, k)
-            out.append(self.net.arch_to_device(
-                self.net.sample_arch(seed=seed, **cons)))
-        return tuple(out)
+            a = self.net.sample_arch(seed=seed, **cons)
+            descs.append(a)
+            out.append(self.net.arch_to_device(a))
+        return tuple(out), descs
 
     def train_one_epoch(self, epoch, constraints=None):
         rc = self.run_config
@@ -132,13 +134,15 @@ class ClsRunManager:
                             warmup_epochs=rc.warmup_epochs,
                             warmup_lr=rc.warmup_lr,
                             lr_schedule_type=rc.lr_schedule_type)
-            archs = self.sample_archs(epoch, n_batch, i, constraints)
+            archs, descs = self.sample_archs(epoch, n_batch, i, constraints)
             dev = {"image": jnp.asarray(batch["image"]),
                    "label": jnp.asarray(batch["label"])}
             self._rng, step_rng = jax.random.split(self._rng)
+            # torch-exact optimizer gating (optim.TorchOpt / train.touched)
+            touched = cls_touched_mask(self.net, self.params, descs)
             self.params, self.state, self.opt_state, m = self._train_step(
                 self.params, self.state, self.opt_state, dev, archs,
-                jnp.asarray(lr, jnp.float32), step_rng)
+                jnp.asarray(lr, jnp.float32), step_rng, touched)
             if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
                 losses.update(float(m["loss"]), len(batch["label"]))
                 top1s.update(float(m["top1"]), len(batch["label"]))

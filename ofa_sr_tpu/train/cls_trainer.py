@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .optim import make_optimizer, no_decay_mask
+from .optim import TorchOpt, no_decay_mask
 
 
 def cross_entropy(logits, labels, label_smoothing=0.0):
@@ -64,9 +64,10 @@ class ClsTrainer:
     def tx(self, params):
         if self._tx is None:
             mask = no_decay_mask(params) if self.weight_decay else None
-            self._tx = make_optimizer(self.opt_type, self.weight_decay, mask,
-                                      momentum=self.momentum,
-                                      nesterov=self.nesterov)
+            # torch-exact optimizer (skip-untouched semantics, optim.TorchOpt)
+            self._tx = TorchOpt(self.opt_type, self.weight_decay, mask,
+                                momentum=self.momentum,
+                                nesterov=self.nesterov)
         return self._tx
 
     def init_opt_state(self, params):
@@ -95,7 +96,8 @@ class ClsTrainer:
                         donate=False):
         tx_holder = {}
 
-        def step(params, state, opt_state, batch, archs, lr, rng):
+        def step(params, state, opt_state, batch, archs, lr, rng,
+                 touched=None):
             soft = None
             if self.kd_ratio > 0 and self.teacher_net is not None:
                 t_logits, _ = self.teacher_net.apply(
@@ -116,8 +118,8 @@ class ClsTrainer:
                 top1s.append(t1)
                 top5s.append(t5)
 
-            updates, new_opt = tx_holder["tx"].update(grads_sum, opt_state, params)
-            new_params = jax.tree.map(lambda pp, u: pp + lr * u, params, updates)
+            new_params, new_opt = tx_holder["tx"].update(
+                params, grads_sum, opt_state, lr, touched)
             metrics = {"loss": jnp.mean(jnp.stack(losses)),
                        "top1": jnp.mean(jnp.stack(top1s)),
                        "top5": jnp.mean(jnp.stack(top5s))}

@@ -13,6 +13,7 @@ schedule value, so one opt state serves any schedule.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -68,3 +69,104 @@ def make_optimizer(opt_type="adam", weight_decay=0.0, params_mask=None,
         raise NotImplementedError(opt_type)
     chain.append(optax.scale(-1.0))
     return optax.chain(*chain)
+
+
+# ---------------------------------------------------------------------------
+# torch-exact optimizer with per-leaf touched gating
+#
+# torch optimizers SKIP parameters whose grad is None: a module no sampled
+# subnet executed this step (depth-gated blocks, unused kernel-transform
+# matrices, the whole encoder in SR mode) gets no weight decay, no moment
+# update, and no per-param step increment (torch/optim/adam.py loop over
+# params with p.grad is not None). The functional step always produces
+# (structurally zero) gradients for those leaves, so reference-exact
+# training needs an explicit per-leaf `touched` mask and a per-leaf Adam
+# step counter. touched=None means every leaf updates every step — then
+# this is bitwise classic torch Adam/SGD.
+# ---------------------------------------------------------------------------
+
+class TorchOpt:
+    """torch.optim.Adam / SGD(momentum, nesterov) semantics as a pure
+    update function over explicit state (RunConfig.build_optimizer,
+    run_manager.py:115-133)."""
+
+    def __init__(self, opt_type="adam", weight_decay=0.0, params_mask=None,
+                 momentum=0.9, nesterov=True, b1=0.9, b2=0.999, eps=1e-8):
+        self.opt_type = opt_type
+        self.weight_decay = weight_decay
+        self.params_mask = params_mask  # True where decay applies
+        self.momentum = momentum
+        self.nesterov = nesterov
+        self.b1, self.b2, self.eps = b1, b2, eps
+
+    def init(self, params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        if self.opt_type == "adam":
+            return {"m": zeros,
+                    "v": jax.tree.map(jnp.zeros_like, params),
+                    "t": jax.tree.map(
+                        lambda p: jnp.zeros((), jnp.int32), params)}
+        if self.opt_type == "sgd":
+            return {"buf": zeros}
+        raise NotImplementedError(self.opt_type)
+
+    def _wd_tree(self, params):
+        if not self.weight_decay:
+            return jax.tree.map(lambda p: 0.0, params)
+        if self.params_mask is None:
+            return jax.tree.map(lambda p: self.weight_decay, params)
+        return jax.tree.map(
+            lambda m: self.weight_decay if m else 0.0, self.params_mask)
+
+    def update(self, params, grads, opt_state, lr, touched=None):
+        """Returns (new_params, new_opt_state). `touched` is a pytree of
+        bool scalars matching params (True = this leaf had a non-None grad
+        in torch terms); None = all touched."""
+        wd = self._wd_tree(params)
+        if touched is None:
+            touched = jax.tree.map(lambda p: jnp.asarray(True), params)
+
+        if self.opt_type == "adam":
+            b1, b2, eps = self.b1, self.b2, self.eps
+
+            def leaf(p, g, m, v, t, w, tch):
+                g = g + w * p  # torch Adam L2 (decay into the gradient)
+                t1 = t + 1
+                m1 = b1 * m + (1 - b1) * g
+                v1 = b2 * v + (1 - b2) * jnp.square(g)
+                tf = t1.astype(jnp.float32)
+                mhat = m1 / (1 - jnp.power(b1, tf))
+                vhat = v1 / (1 - jnp.power(b2, tf))
+                p1 = p - lr * mhat / (jnp.sqrt(vhat) + eps)
+                return (jnp.where(tch, p1, p), jnp.where(tch, m1, m),
+                        jnp.where(tch, v1, v), jnp.where(tch, t1, t))
+
+            out = jax.tree.map(leaf, params, grads, opt_state["m"],
+                               opt_state["v"], opt_state["t"], wd, touched)
+            leaves, treedef = jax.tree.flatten(out,
+                                               is_leaf=lambda x: isinstance(x, tuple))
+            unzip = list(zip(*leaves))
+            return (jax.tree.unflatten(treedef, unzip[0]),
+                    {"m": jax.tree.unflatten(treedef, unzip[1]),
+                     "v": jax.tree.unflatten(treedef, unzip[2]),
+                     "t": jax.tree.unflatten(treedef, unzip[3])})
+
+        if self.opt_type == "sgd":
+            mu, nesterov = self.momentum, self.nesterov
+
+            def leaf(p, g, buf, w, tch):
+                g = g + w * p
+                buf1 = mu * buf + g  # torch: first touch -> buf = g
+                d = g + mu * buf1 if nesterov else buf1
+                return (jnp.where(tch, p - lr * d, p),
+                        jnp.where(tch, buf1, buf))
+
+            out = jax.tree.map(leaf, params, grads, opt_state["buf"], wd,
+                               touched)
+            leaves, treedef = jax.tree.flatten(out,
+                                               is_leaf=lambda x: isinstance(x, tuple))
+            unzip = list(zip(*leaves))
+            return (jax.tree.unflatten(treedef, unzip[0]),
+                    {"buf": jax.tree.unflatten(treedef, unzip[1])})
+
+        raise NotImplementedError(self.opt_type)

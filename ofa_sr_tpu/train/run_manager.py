@@ -33,6 +33,7 @@ from ..utils.common import AverageMeter
 from .bn_recalib import bn_recalibrate
 from .checkpoint import load_checkpoint, save_checkpoint
 from .schedules import lr_at_step
+from .touched import sr_touched_mask
 from .train_step import SRTrainer
 
 
@@ -260,9 +261,13 @@ class SRRunManager:
             archs, descs = self.sample_archs(epoch, n_batch, i, constraints,
                                              fixed_cfg)
             dev_batch = self._to_device(batch)
+            # torch-exact optimizer gating: leaves no sampled subnet
+            # executed get no decay/moment/step update (optim.TorchOpt)
+            touched = sr_touched_mask(self.net, self.params, descs,
+                                      mode=rc.mode)
             self.params, self.state, self.opt_state, metrics = self._train_step(
                 self.params, self.state, self.opt_state, dev_batch, archs,
-                jnp.asarray(lr, jnp.float32))
+                jnp.asarray(lr, jnp.float32), touched)
             n = batch["image"].shape[0]
             if loss_sum is None:
                 loss_sum = metrics["loss"] * n

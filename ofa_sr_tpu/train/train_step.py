@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.metrics import psnr_y_device
-from .optim import make_optimizer, no_decay_mask
+from .optim import TorchOpt, no_decay_mask
 
 
 class SRTrainer:
@@ -77,7 +77,11 @@ class SRTrainer:
     def tx(self, params):
         if self._tx is None:
             mask = no_decay_mask(params) if self.weight_decay else None
-            self._tx = make_optimizer(
+            # torch-exact optimizer incl. the skip-untouched-params
+            # semantics (see optim.TorchOpt): the reference trainer's Adam
+            # never decays or moment-updates modules no sampled subnet
+            # executed (torch skips grad=None params)
+            self._tx = TorchOpt(
                 self.opt_type, self.weight_decay, mask,
                 momentum=self.momentum, nesterov=self.nesterov)
         return self._tx
@@ -161,7 +165,7 @@ class SRTrainer:
         reference seed contract."""
         tx_holder = {}
 
-        def step(params, state, opt_state, batch, archs, lr):
+        def step(params, state, opt_state, batch, archs, lr, touched=None):
             teacher_out = None
             if self.kd_ratio > 0 and self.teacher_net is not None:
                 teacher_out, _ = self.teacher_net.apply(
@@ -183,9 +187,8 @@ class SRTrainer:
                 losses.append(loss)
                 psnrs.append(psnr)
 
-            updates, new_opt_state = tx_holder["tx"].update(
-                grads_sum, opt_state, params)
-            new_params = jax.tree.map(lambda pp, u: pp + lr * u, params, updates)
+            new_params, new_opt_state = tx_holder["tx"].update(
+                params, grads_sum, opt_state, lr, touched)
             metrics = {
                 "loss": jnp.mean(jnp.stack(losses)),
                 "psnr": jnp.mean(jnp.stack(psnrs)),
@@ -224,8 +227,8 @@ class SRTrainer:
                     jnp.add, grads_sum, g)
                 losses.append(loss)
                 psnrs.append(psnr)
-            updates, new_opt = tx_holder["tx"].update(grads_sum, opt_state, params)
-            new_params = jax.tree.map(lambda pp, u: pp + lr * u, params, updates)
+            new_params, new_opt = tx_holder["tx"].update(
+                params, grads_sum, opt_state, lr)
             return new_params, cur_state, new_opt, {
                 "loss": jnp.mean(jnp.stack(losses)),
                 "psnr": jnp.mean(jnp.stack(psnrs))}

@@ -41,6 +41,10 @@ def build_args(argv=None):
     p.add_argument("--materialize", action="store_true",
                    help="slice + jit the static subnet (deployment path)")
     p.add_argument("--bn_recalib", action="store_true")
+    p.add_argument("--frame_log", type=str, default=None,
+                   help="JSONL path for per-frame loss/PSNR scalars (the "
+                        "reference's tensorboardX per-frame logging toggle, "
+                        "sr_run_manager.py:324-326,374-375)")
     return p.parse_args(argv)
 
 
@@ -65,24 +69,33 @@ def main(argv=None):
         rm.reset_running_statistics(sub_cfg, n_images=64, batch_size=16)
 
     if args.materialize:
+        import json
+
         subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg)
         jsub = jax.jit(subnet)
         key = "x%d" % (2 ** sub_cfg.pixel_d)
+        log_f = open(args.frame_log, "a") if args.frame_log else None
         psnrs, times = [], []
-        for batch in provider.test:
+        for fi, batch in enumerate(provider.test):
             x = jnp.asarray(batch[key])
             t0 = time.perf_counter()
             out = jsub(x)
             out.block_until_ready()
             times.append(time.perf_counter() - t0)
-            psnrs.append(float(psnr_y_device(out, jnp.asarray(batch["image"]))))
+            p = float(psnr_y_device(out, jnp.asarray(batch["image"])))
+            psnrs.append(p)
+            if log_f is not None:
+                log_f.write(json.dumps(
+                    {"frame": fi, "psnr": p, "sec": times[-1]}) + "\n")
+        if log_f is not None:
+            log_f.close()
         # first time includes compile
         fps = len(times[1:]) / sum(times[1:]) if len(times) > 1 else 0.0
         rm.write_log("materialized subnet: psnr %.3f  %.1f frames/s"
                      % (float(np.mean(psnrs)), fps), "valid")
         return float(np.mean(psnrs))
 
-    loss, psnr = rm.validate(sub_cfg)
+    loss, psnr = rm.validate(sub_cfg, frame_log=args.frame_log)
     rm.write_log("eval %s: loss %.5f psnr %.3f"
                  % (sub_cfg.describe()[:60], loss, psnr), "valid")
     return psnr

@@ -148,15 +148,16 @@ def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
 
 def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                  act="relu6", training=False, bn_cfg=None, stride=1,
-                 se_mid=None, expand_switch=False, out_ch=None):
-    if out_ch is not None:
-        # runtime elastic output width (DynamicMBConvLayer
-        # active_out_channel, dynamic_layers.py:69-80) — masked mode only
-        assert not expand_switch, "elastic width needs masked execution"
+                 se_mid=None, expand_switch=False, out_ch=None,
+                 spatial_mask=None):
+    if out_ch is not None or spatial_mask is not None:
+        # elastic output width / bucketed-eval spatial masking: masked
+        # execution only
+        assert not expand_switch, "needs masked execution"
         return _masked_mbconv_apply(p, s, x, space, ks_idx, mid, act=act,
                                     training=training, bn_cfg=bn_cfg,
                                     stride=stride, se_mid=se_mid,
-                                    out_ch=out_ch)
+                                    out_ch=out_ch, spatial_mask=spatial_mask)
     if expand_switch and "se" not in p and len(space.expand_list) > 1:
         # compile one branch per expand option: only the sampled width's
         # FLOPs execute (masking always pays the max width)
@@ -176,7 +177,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 
 def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                          act="relu6", training=False, bn_cfg=None, stride=1,
-                         se_mid=None, out_ch=None):
+                         se_mid=None, out_ch=None, spatial_mask=None):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
     is the active middle width (both traced int32 scalars); `se_mid` the
     active SE bottleneck width when the block has squeeze-excite.
@@ -212,6 +213,11 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
         use_transform=use_t,
     )
     w_dw = select_kernel(cands, ks_idx)
+    if spatial_mask is not None:
+        # shape-bucketed eval: re-zero the pad so the k x k depthwise conv's
+        # valid-border outputs equal the unpadded SAME execution (the BN
+        # bias made the pad region nonzero)
+        y = y * spatial_mask
     y = depthwise_conv2d(y, w_dw, stride=stride)
     y, bn_dw = batch_norm(y, p["depth_conv"]["bn"], s["depth_conv"]["bn"],
                           training=training, mask=mask, **bn_cfg)
@@ -245,7 +251,8 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 
 def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
-                         bn_cfg=None, remat=False, expand_switch=False):
+                         bn_cfg=None, remat=False, expand_switch=False,
+                         spatial_mask=None):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -260,7 +267,8 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     def plain_block_fn(bp, bs, xx, k_i, m_i):
         return mbconv_apply(bp, bs, xx, space, k_i, m_i,
                             act=act, training=training, bn_cfg=bn_cfg,
-                            expand_switch=expand_switch)
+                            expand_switch=expand_switch,
+                            spatial_mask=spatial_mask)
 
     # rematerialize alternate blocks' activations in the backward pass:
     # full residuals ((B,H,W,max_mid) x 16 blocks) exceed HBM at batch

@@ -21,6 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.elastic import spatial_valid_mask
 from .arch import SearchSpace, SubnetConfig, max_subnet
 from .layers import (
     conv_layer_apply,
@@ -88,12 +89,18 @@ class OFAMobileNetS4:
 
     def apply(self, params, state, x, arch, *, pixel_d: int,
               training: bool = False, bn_training: Optional[bool] = None,
-              remat: bool = False):
+              remat: bool = False, valid_hw=None):
         """Forward the decoder. `arch` is a SubnetConfig.to_device() pytree
         (its 'pixel_d' entry is ignored here — pixel_d must be static).
 
         `bn_training=False` with `training=True` reproduces the SR trainer's
         frozen-BN mode (sr_run_manager.py:416-423).
+
+        `valid_hw`: optional traced (h, w) of the real frame inside a
+        zero-padded bucket input (shape-bucketed eval, SURVEY.md §5.7). The
+        pad region is re-zeroed before every spatial conv, making the valid
+        region bitwise identical to the unpadded execution. Eval-mode only
+        (training BN moments would include pad pixels).
         """
         sp = self.space
         if bn_training is None:
@@ -101,9 +108,19 @@ class OFAMobileNetS4:
         bnt = bool(bn_training)
         new_s = {}
 
+        smask = None
+        if valid_hw is not None:
+            assert not bnt, "bucketed eval is eval-mode only"
+            smask = spatial_valid_mask(valid_hw[0], valid_hw[1],
+                                       x.shape[1], x.shape[2], x.dtype)
+
+        def masked(t, m):
+            return t if m is None else t * m
+
         x, new_s["dec_first_conv_block"] = conv_layer_apply(
             params["dec_first_conv_block"], state["dec_first_conv_block"], x,
             act=None, training=bnt, bn_cfg=self.bn_cfg)
+        x = masked(x, smask)
 
         dec_big_skip = x
 
@@ -115,15 +132,18 @@ class OFAMobileNetS4:
                 params["blocks"][lo:hi], state["blocks"][lo:hi], x, sp,
                 arch["ks_idx"][lo:hi], arch["mid"][lo:hi], arch["depth"][stage],
                 act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
-                expand_switch=getattr(self, 'expand_switch', False))
+                expand_switch=getattr(self, 'expand_switch', False),
+                spatial_mask=smask)
             blocks_new_s.extend(stage_s)
         new_s["blocks"] = blocks_new_s
+        x = masked(x, smask)  # point-linear BN bias leaked into the pad
 
         fin_s = []
         for i in range(2):
             x, ls = conv_layer_apply(
                 params["dec_final_conv_blocks"][i], state["dec_final_conv_blocks"][i],
                 x, act=None, training=bnt, bn_cfg=self.bn_cfg)
+            x = masked(x, smask)
             fin_s.append(ls)
             if i == 0:
                 x = x + dec_big_skip
@@ -134,11 +154,18 @@ class OFAMobileNetS4:
             x, shuf_s[i] = conv_layer_apply(
                 params["shuffle_blocks"][i], state["shuffle_blocks"][i], x,
                 act=None, shuffle="shuffle", training=bnt, bn_cfg=self.bn_cfg)
+            if smask is not None:
+                # resolution doubled: rebuild the mask at the new shape
+                smask = spatial_valid_mask(
+                    valid_hw[0] * 2 ** (i + 1), valid_hw[1] * 2 ** (i + 1),
+                    x.shape[1], x.shape[2], x.dtype)
+                x = x * smask
         new_s["shuffle_blocks"] = shuf_s
 
         x, new_s["dec_final_output_conv_block"] = conv_layer_apply(
             params["dec_final_output_conv_block"], state["dec_final_output_conv_block"],
             x, act=None, training=bnt, bn_cfg=self.bn_cfg)
+        x = masked(x, smask)
         return x, new_s
 
     # -- conveniences ---------------------------------------------------------

@@ -119,7 +119,8 @@ class OFAMobileNetX4:
 
     # -- forward pieces -------------------------------------------------------
 
-    def _trunk(self, blocks_p, blocks_s, x, arch, trunk_idx, bnt, remat=False):
+    def _trunk(self, blocks_p, blocks_s, x, arch, trunk_idx, bnt, remat=False,
+               spatial_mask=None):
         sp = self.space
         d_max = sp.max_depth
         base_b = trunk_idx * sp.blocks_per_trunk
@@ -133,7 +134,8 @@ class OFAMobileNetX4:
                 arch["mid"][base_b + lo:base_b + hi],
                 arch["depth"][base_s + stage],
                 act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
-                expand_switch=getattr(self, 'expand_switch', False))
+                expand_switch=getattr(self, 'expand_switch', False),
+                spatial_mask=spatial_mask)
             new_states.extend(stage_s)
         return x, new_states
 
@@ -168,24 +170,40 @@ class OFAMobileNetX4:
 
     def decode(self, params, state, x, arch, *, pixel_d: int,
                training: bool = False, bn_training: Optional[bool] = None,
-               remat: bool = False):
-        """3-channel LR image -> HR reconstruction (2^pixel_d larger)."""
+               remat: bool = False, valid_hw=None):
+        """3-channel LR image -> HR reconstruction (2^pixel_d larger).
+
+        `valid_hw`: shape-bucketed eval masking (see OFAMobileNetS4.apply)."""
+        from ..ops.elastic import spatial_valid_mask
         bnt = bool(training if bn_training is None else bn_training)
         new_s = {}
+
+        smask = None
+        if valid_hw is not None:
+            assert not bnt, "bucketed eval is eval-mode only"
+            smask = spatial_valid_mask(valid_hw[0], valid_hw[1],
+                                       x.shape[1], x.shape[2], x.dtype)
+
+        def masked(t):
+            return t if smask is None else t * smask
 
         x, new_s["dec_first_conv_block"] = conv_layer_apply(
             params["dec_first_conv_block"], state["dec_first_conv_block"], x,
             act=None, training=bnt, bn_cfg=self.bn_cfg)
+        x = masked(x)
 
         dec_big_skip = x
         x, new_s["dec_blocks"] = self._trunk(
-            params["dec_blocks"], state["dec_blocks"], x, arch, 1, bnt, remat)
+            params["dec_blocks"], state["dec_blocks"], x, arch, 1, bnt, remat,
+            spatial_mask=smask)
+        x = masked(x)
 
         fin_s = []
         for i in range(2):
             x, ls = conv_layer_apply(
                 params["dec_final_conv_blocks"][i], state["dec_final_conv_blocks"][i],
                 x, act=None, training=bnt, bn_cfg=self.bn_cfg)
+            x = masked(x)
             fin_s.append(ls)
             if i == 0:
                 x = x + dec_big_skip
@@ -196,22 +214,28 @@ class OFAMobileNetX4:
             x, shuf_s[i] = conv_layer_apply(
                 params["shuffle_blocks"][i], state["shuffle_blocks"][i], x,
                 act=None, shuffle="shuffle", training=bnt, bn_cfg=self.bn_cfg)
+            if smask is not None:
+                smask = spatial_valid_mask(
+                    valid_hw[0] * 2 ** (i + 1), valid_hw[1] * 2 ** (i + 1),
+                    x.shape[1], x.shape[2], x.dtype)
+                x = x * smask
         new_s["shuffle_blocks"] = shuf_s
 
         x, new_s["dec_final_output_conv_block"] = conv_layer_apply(
             params["dec_final_output_conv_block"], state["dec_final_output_conv_block"],
             x, act=None, training=bnt, bn_cfg=self.bn_cfg)
+        x = masked(x)
         return x, new_s
 
     def apply(self, params, state, x, arch, *, pixel_d: int, mode: str = "sr",
               training: bool = False, bn_training: Optional[bool] = None,
-              remat: bool = False):
+              remat: bool = False, valid_hw=None):
         """mode='sr': decoder-only on a bicubic LR input (the live DIV2K
         config); mode='autoencoder': encoder+decoder on an HR input."""
         if mode == "sr":
             y, dec_s = self.decode(params, state, x, arch, pixel_d=pixel_d,
                                    training=training, bn_training=bn_training,
-                                   remat=remat)
+                                   remat=remat, valid_hw=valid_hw)
             new_s = dict(state)
             new_s.update(dec_s)
             return y, new_s

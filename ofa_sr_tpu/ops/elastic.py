@@ -126,3 +126,17 @@ def channel_mask(active_width, max_width, dtype=jnp.float32):
     Replaces weight[:active_width] prefix slicing
     (dynamic_op.py:104-112,133-134,163-167)."""
     return (jnp.arange(max_width) < active_width).astype(dtype)
+
+
+def spatial_valid_mask(valid_h, valid_w, h, w, dtype=jnp.float32):
+    """(1, h, w, 1) 0/1 mask: 1 inside the valid top-left (valid_h, valid_w)
+    region (traced ints), 0 in the padding.
+
+    Shape-bucketed evaluation (SURVEY.md §5.7): frames are zero-padded up to
+    a bucket shape so one compiled program serves many frame sizes. Re-zeroing
+    the pad region before every *spatial* conv makes the valid-region outputs
+    bitwise identical to the unpadded SAME-padded execution — the conv at the
+    true frame border sees exactly the zeros it would have padded itself."""
+    mh = (jnp.arange(h) < valid_h).astype(dtype)
+    mw = (jnp.arange(w) < valid_w).astype(dtype)
+    return (mh[:, None] * mw[None, :])[None, :, :, None]

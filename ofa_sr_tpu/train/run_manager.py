@@ -73,6 +73,10 @@ class RunConfig:
     bn_frozen: bool = False               # SR oracle 'BN always eval'
     bn_recalib_before_eval: bool = False  # OFA-canonical eval does recalib
     image_size: int = 96
+    # shape-bucketed eval (SURVEY.md §5.7): LR frames pad up to multiples of
+    # this, so a full Set5/Set14-style catalog (14 distinct ModCrop shapes)
+    # compiles one program per bucket instead of one per shape. None = off.
+    eval_bucket: Optional[int] = None
     # train the architectures the reference *actually executes* (its
     # runtime_depth indexing quirks, arch.reference_quirk_arch_*) rather
     # than the intended semantics — for exact training-trajectory parity
@@ -81,6 +85,25 @@ class RunConfig:
     @property
     def config(self):
         return dataclasses.asdict(self)
+
+
+def _bucket_pad(batch, pixel_d, bucket):
+    """Zero-pad a variable-shape eval batch up to the next bucket multiple
+    (LR resolution), recording the true frame size as 'valid_hw'."""
+    key = "x%d" % (2 ** pixel_d)
+    x = np.asarray(batch[key])
+    hr = np.asarray(batch["image"])
+    h, w = x.shape[1], x.shape[2]
+    bh = -(-h // bucket) * bucket
+    bw = -(-w // bucket) * bucket
+    scale = 2 ** pixel_d
+    xp = np.zeros((x.shape[0], bh, bw, x.shape[3]), x.dtype)
+    xp[:, :h, :w] = x
+    hp = np.zeros((hr.shape[0], bh * scale, bw * scale, hr.shape[3]),
+                  hr.dtype)
+    hp[:, :h * scale, :w * scale] = hr
+    return {key: xp, "image": hp,
+            "valid_hw": np.asarray([h, w], np.int32)}
 
 
 class SRRunManager:
@@ -289,11 +312,16 @@ class SRRunManager:
         return float(loss_sum) / n_sum, float(psnr_sum) / n_sum
 
     def validate(self, cfg: Optional[SubnetConfig] = None, loader=None,
-                 recalib_loader=None):
+                 recalib_loader=None, frame_log: Optional[str] = None):
         """Mean loss/PSNR over the loader for one subnet config
         (SRRunManager.validate, sr_run_manager.py:323-393). When
         cfg.bn_recalib_before_eval, running stats are recalibrated first
-        (the canonical OFA deployment eval, eval_ofa_net.py:58-79)."""
+        (the canonical OFA deployment eval, eval_ofa_net.py:58-79).
+
+        `frame_log`: path of a JSONL file receiving one
+        {"frame", "loss", "psnr"} record per validation batch — the
+        config-switch replacement for the reference's per-frame
+        tensorboardX scalars (sr_run_manager.py:324-326,374-375)."""
         rc = self.run_config
         sp = self.net.space
         cfg = cfg or max_subnet(sp, self.net.n_trunks)
@@ -306,12 +334,31 @@ class SRRunManager:
                 mode=rc.mode if rc.mode == "autoencoder" else None)
         losses, psnrs = AverageMeter(), AverageMeter()
         arch = cfg.to_device(sp)
-        for batch in loader:
-            dev_batch = self._to_device(batch)
-            out = self._eval_step(self.params, state, dev_batch, arch)
-            n = batch["image"].shape[0]
-            losses.update(float(out["loss"]), n)
-            psnrs.update(float(out["psnr"]), n)
+        eval_step = self._eval_step
+        if rc.eval_bucket:
+            if not hasattr(self, "_bucketed_steps"):
+                self._bucketed_steps = {}
+            if cfg.pixel_d not in self._bucketed_steps:
+                self._bucketed_steps[cfg.pixel_d] = \
+                    self.trainer.make_bucketed_eval_step(cfg.pixel_d)
+            eval_step = self._bucketed_steps[cfg.pixel_d]
+        log_f = open(frame_log, "a") if frame_log else None
+        try:
+            for fi, batch in enumerate(loader):
+                if rc.eval_bucket:
+                    batch = _bucket_pad(batch, cfg.pixel_d, rc.eval_bucket)
+                dev_batch = self._to_device(batch)
+                out = eval_step(self.params, state, dev_batch, arch)
+                n = batch["image"].shape[0]
+                l, p = float(out["loss"]), float(out["psnr"])
+                losses.update(l, n)
+                psnrs.update(p, n)
+                if log_f is not None:
+                    log_f.write(json.dumps(
+                        {"frame": fi, "loss": l, "psnr": p}) + "\n")
+        finally:
+            if log_f is not None:
+                log_f.close()
         return losses.avg, psnrs.avg
 
     def train(self, validate_cfgs: Optional[Sequence[SubnetConfig]] = None,

@@ -261,3 +261,39 @@ class SRTrainer:
             return {"loss": loss, "psnr": psnr_y_device(out, hr), "output": out}
 
         return jax.jit(step)
+
+    def make_bucketed_eval_step(self, pixel_d: int):
+        """Shape-bucketed evaluation (SURVEY.md §5.7): the batch carries
+        zero-padded frames plus 'valid_hw' = (h, w) of the real LR frame;
+        one compiled program serves every frame size in the bucket, and the
+        valid region is bitwise identical to the unpadded execution (the
+        model re-zeroes the pad before every spatial conv). Metrics average
+        over valid pixels only.
+        """
+        from ..ops.elastic import spatial_valid_mask
+
+        def step(params, state, batch, arch):
+            lr_key = "x%d" % (2 ** pixel_d)
+            x = batch[lr_key]
+            valid_hw = batch["valid_hw"]
+            kw = dict(pixel_d=pixel_d, training=False, valid_hw=valid_hw)
+            if self.mode == "autoencoder":
+                raise NotImplementedError(
+                    "bucketed eval covers the SR (decoder) envelope")
+            if hasattr(self.net, "decode"):
+                out, _ = self.net.apply(params, state, x, arch, mode="sr",
+                                        **kw)
+            else:
+                out, _ = self.net.apply(params, state, x, arch, **kw)
+            hr = batch["image"]
+            scale = 2 ** pixel_d
+            hr_mask = spatial_valid_mask(valid_hw[0] * scale,
+                                         valid_hw[1] * scale,
+                                         hr.shape[1], hr.shape[2], hr.dtype)
+            sq = jnp.square(out - hr) * hr_mask
+            loss = jnp.sum(sq) / (jnp.sum(hr_mask) * hr.shape[0]
+                                  * hr.shape[-1])
+            psnr = psnr_y_device(out, hr, valid_mask=hr_mask)
+            return {"loss": loss, "psnr": psnr, "output": out}
+
+        return jax.jit(step)

@@ -38,16 +38,24 @@ def rgb2y_device(img255, channel_axis=-1):
     return jnp.round(y)
 
 
-def psnr_y_device(pred, target, channel_axis=-1):
+def psnr_y_device(pred, target, channel_axis=-1, valid_mask=None):
     """PSNR on the Y channel of uint8-rounded [0,1] images, fully on device.
 
     Matches psnr(rgb2y(tensor2img_np(pred)), rgb2y(tensor2img_np(target)))
     from the reference hot loop (progressive_shrinking.py:196) up to float64
     vs float32 accumulation.
+
+    `valid_mask`: optional (1, H, W, 1) 0/1 mask for shape-bucketed eval —
+    the MSE averages only over valid pixels.
     """
     y1 = rgb2y_device(quantize_img(pred), channel_axis)
     y2 = rgb2y_device(quantize_img(target), channel_axis)
-    mse = jnp.mean(jnp.square(y1 - y2))
+    if valid_mask is not None:
+        m = valid_mask[..., 0]  # (1, H, W) to match the Y maps
+        sq = jnp.square(y1 - y2) * m
+        mse = jnp.sum(sq) / (jnp.sum(m) * y1.shape[0])
+    else:
+        mse = jnp.mean(jnp.square(y1 - y2))
     # Reference returns inf on mse == 0; keep that behaviour without a branch.
     return jnp.where(
         mse == 0,

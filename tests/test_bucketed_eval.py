@@ -1,0 +1,105 @@
+"""Shape-bucketed evaluation: padded execution == unpadded, one compile."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace, sample_subnet
+from ofa_sr_tpu.train.train_step import SRTrainer
+
+
+def _pad(x, bh, bw):
+    out = np.zeros((x.shape[0], bh, bw, x.shape[3]), x.dtype)
+    out[:, :x.shape[1], :x.shape[2]] = x
+    return out
+
+
+def test_bucketed_forward_matches_unpadded_s4():
+    space = SearchSpace()
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    for pd, (h, w) in ((1, (11, 14)), (2, (9, 13))):
+        arch = sample_subnet(space, seed=pd).to_device(space)
+        x = rng.rand(1, h, w, 3).astype(np.float32)
+        y_ref, _ = net.apply(p, s, jnp.asarray(x), arch, pixel_d=pd,
+                             training=False)
+        xp = _pad(x, 16, 16)
+        y_pad, _ = net.apply(p, s, jnp.asarray(xp), arch, pixel_d=pd,
+                             training=False,
+                             valid_hw=jnp.asarray([h, w], jnp.int32))
+        sc = 2 ** pd
+        np.testing.assert_allclose(
+            np.asarray(y_pad)[:, :h * sc, :w * sc],
+            np.asarray(y_ref), rtol=1e-4, atol=2e-5)
+        # pad region of the output is zeroed
+        assert float(np.abs(np.asarray(y_pad)[:, h * sc:]).max()) == 0.0
+
+
+def test_bucketed_eval_step_one_compile_many_shapes():
+    space = SearchSpace()
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(1))
+    trainer = SRTrainer(net, mode="sr")
+    plain = trainer.make_eval_step()
+    bucketed_raw = trainer.make_bucketed_eval_step(pixel_d=1)
+    rng = np.random.RandomState(1)
+    arch = sample_subnet(space, seed=3).to_device(space)
+    # all three distinct frame shapes land in the same (16, 16) bucket ->
+    # the jitted step compiles once (shape-keyed jit cache)
+    shapes = [(10, 12), (14, 16), (7, 9)]
+    for h, w in shapes:
+        x2 = rng.rand(1, h, w, 3).astype(np.float32)
+        hr = rng.rand(1, 2 * h, 2 * w, 3).astype(np.float32)
+        batch = {"x2": jnp.asarray(_pad(x2, 16, 16)),
+                 "image": jnp.asarray(_pad(hr, 32, 32)),
+                 "valid_hw": jnp.asarray([h, w], jnp.int32)}
+        out_b = bucketed_raw(p, s, batch, arch)
+        out_p = plain(p, s, {"x2": jnp.asarray(x2),
+                             "image": jnp.asarray(hr)}, arch)
+        np.testing.assert_allclose(float(out_b["loss"]),
+                                   float(out_p["loss"]), rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(out_b["psnr"]),
+                                   float(out_p["psnr"]), rtol=1e-4)
+
+
+def test_bucketed_x4_decode():
+    space = SearchSpace()
+    net = OFAMobileNetX4(space)
+    p, s = net.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    arch = sample_subnet(space, seed=5, n_trunks=2).to_device(space)
+    h, w = 11, 10
+    x = rng.rand(1, h, w, 3).astype(np.float32)
+    y_ref, _ = net.apply(p, s, jnp.asarray(x), arch, pixel_d=2, mode="sr",
+                         training=False)
+    y_pad, _ = net.apply(p, s, jnp.asarray(_pad(x, 16, 16)), arch,
+                         pixel_d=2, mode="sr", training=False,
+                         valid_hw=jnp.asarray([h, w], jnp.int32))
+    np.testing.assert_allclose(np.asarray(y_pad)[:, :4 * h, :4 * w],
+                               np.asarray(y_ref), rtol=1e-4, atol=2e-5)
+
+
+def test_run_manager_bucketed_validate():
+    """SRRunManager.validate with eval_bucket gives the same mean PSNR as
+    the per-shape path on a fixed-shape synthetic provider."""
+    from ofa_sr_tpu.data import SyntheticSRProvider
+    from ofa_sr_tpu.train import RunConfig, SRRunManager
+
+    space = SearchSpace(ks_list=[3, 5], expand_list=[3], depth_list=[2],
+                        pixel_d_list=[1, 2], n_stages=2, width=16)
+    net = OFAMobileNetS4(space)
+    provider = SyntheticSRProvider(n_train=8, n_valid=3, hr_size=24,
+                                   train_batch_size=4)
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    cfg_a = uniform_subnet(space, 5, 3, 2, 1)
+    rm1 = SRRunManager("exp/test_bucket/a", net, RunConfig(image_size=24),
+                       provider)
+    rm2 = SRRunManager("exp/test_bucket/b", net,
+                       RunConfig(image_size=24, eval_bucket=16), provider)
+    rm2.params, rm2.state = rm1.params, rm1.state
+    l1, p1 = rm1.validate(cfg_a)
+    l2, p2 = rm2.validate(cfg_a)
+    np.testing.assert_allclose(l2, l1, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(p2, p1, rtol=1e-4)

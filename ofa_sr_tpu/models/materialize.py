@@ -93,12 +93,16 @@ class StaticSubnet:
     decoder (or encoder+decoder) of an OFAMobileNetX4."""
 
     def __init__(self, net, params, state, cfg: SubnetConfig, *,
-                 fold_bn: bool = True, mode: str = "sr"):
+                 fold_bn: bool = True, mode: str = "sr",
+                 use_pallas: bool = False):
         self.space = net.space
         self.cfg = cfg
         self.pixel_d = cfg.pixel_d
         self.fold_bn = fold_bn
         self.mode = mode
+        # fused conv+pixelshuffle tail (ops/pallas/shuffle_tail.py); the
+        # dispatcher itself falls back to XLA off-TPU / when not opted in
+        self.use_pallas = use_pallas
         self.eps = net.bn_cfg["eps"]
         self.is_x4 = hasattr(net, "decode")
 
@@ -209,10 +213,16 @@ class StaticSubnet:
             if i == 0:
                 x = x + skip
         for lp in m["shuffle"]:
-            x = self._conv_layer(lp, x, shuffle="shuffle")
+            if self.use_pallas and self.fold_bn:
+                from ..ops.pallas.shuffle_tail import fused_shuffle_tail
+                x = fused_shuffle_tail(x, lp["w"], lp["b"])
+            else:
+                x = self._conv_layer(lp, x, shuffle="shuffle")
         return self._conv_layer(m["dec_out"], x)
 
 
 def get_active_subnet(net, params, state, cfg: SubnetConfig, *,
-                      fold_bn: bool = True, mode: str = "sr") -> StaticSubnet:
-    return StaticSubnet(net, params, state, cfg, fold_bn=fold_bn, mode=mode)
+                      fold_bn: bool = True, mode: str = "sr",
+                      use_pallas: bool = False) -> StaticSubnet:
+    return StaticSubnet(net, params, state, cfg, fold_bn=fold_bn, mode=mode,
+                        use_pallas=use_pallas)

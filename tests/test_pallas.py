@@ -57,3 +57,46 @@ def test_fused_mbconv_fallback_on_odd_shapes():
                              w["pl_w"], w["pl_b"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_shuffle_tail_interpret():
+    """conv5x5+BN-folded-bias+PixelShuffle(2) fused kernel == XLA
+    composition (interpret mode; HW execution is benchmarked separately)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofa_sr_tpu.ops.pallas.shuffle_tail import (
+        fused_shuffle_tail,
+        shuffle_tail_reference,
+    )
+    rng = np.random.RandomState(7)
+    for h, w_ in ((12, 16), (6, 8)):
+        x = jnp.asarray(rng.rand(2, h, w_, 64), jnp.float32)
+        w = jnp.asarray(rng.randn(5, 5, 64, 256) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+        y_ref = shuffle_tail_reference(x, w, b)
+        y_pal = fused_shuffle_tail(x, w, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_materialized_subnet_pallas_tail_fallback():
+    """use_pallas=True on CPU routes through the dispatcher's XLA fallback
+    and matches the plain materialized subnet exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    from ofa_sr_tpu.models.materialize import get_active_subnet
+
+    space = SearchSpace(ks_list=[3, 5], expand_list=[3], depth_list=[2],
+                        pixel_d_list=[1, 2], n_stages=2, width=16)
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(3))
+    cfg = uniform_subnet(space, 5, 3, 2, 2)
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 8, 8, 3), np.float32)
+    y1 = get_active_subnet(net, p, s, cfg)(x)
+    y2 = get_active_subnet(net, p, s, cfg, use_pallas=True)(x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))

@@ -45,6 +45,10 @@ def build_args(argv=None):
                    help="JSONL path for per-frame loss/PSNR scalars (the "
                         "reference's tensorboardX per-frame logging toggle, "
                         "sr_run_manager.py:324-326,374-375)")
+    p.add_argument("--tile", type=int, default=None,
+                   help="with --materialize: overlap-tiled inference with "
+                        "this LR tile size (1080p+ VMEM strategy; halo "
+                        "auto-sized to the subnet's receptive field)")
     return p.parse_args(argv)
 
 
@@ -73,13 +77,26 @@ def main(argv=None):
 
         subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg)
         jsub = jax.jit(subnet)
+        infer = jsub
+        if args.tile:
+            from ..train.tiled_infer import (
+                receptive_field_radius,
+                tiled_sr_infer,
+            )
+            halo = receptive_field_radius(sub_cfg, space)
+            scale = 2 ** sub_cfg.pixel_d
+
+            def infer(x):  # noqa: F811 — tiled path replaces direct jit
+                return jnp.asarray(tiled_sr_infer(
+                    lambda t: jsub(jnp.asarray(t)), np.asarray(x),
+                    tile=args.tile, halo=halo, scale=scale))
         key = "x%d" % (2 ** sub_cfg.pixel_d)
         log_f = open(args.frame_log, "a") if args.frame_log else None
         psnrs, times = [], []
         for fi, batch in enumerate(provider.test):
             x = jnp.asarray(batch[key])
             t0 = time.perf_counter()
-            out = jsub(x)
+            out = infer(x)
             out.block_until_ready()
             times.append(time.perf_counter() - t0)
             p = float(psnr_y_device(out, jnp.asarray(batch["image"])))

@@ -214,7 +214,7 @@ class SRTrainer:
         """
         tx_holder = {}
 
-        def one_step(params, state, opt_state, batch, archs, lr):
+        def one_step(params, state, opt_state, batch, archs, lr, touched):
             grads_sum = None
             losses, psnrs = [], []
             cur_state = state
@@ -228,23 +228,35 @@ class SRTrainer:
                 losses.append(loss)
                 psnrs.append(psnr)
             new_params, new_opt = tx_holder["tx"].update(
-                params, grads_sum, opt_state, lr)
+                params, grads_sum, opt_state, lr, touched)
             return new_params, cur_state, new_opt, {
                 "loss": jnp.mean(jnp.stack(losses)),
                 "psnr": jnp.mean(jnp.stack(psnrs))}
 
-        def scan_steps(params, state, opt_state, batches, archs, lrs):
+        def scan_steps(params, state, opt_state, batches, archs, lrs,
+                       touched=None):
+            """`touched`: optional stacked touched-mask pytree ([n_inner]
+            leading axis per leaf, see train/touched.py) for torch-exact
+            skip-untouched optimizer semantics; None = all leaves every
+            step."""
             tx_holder["tx"] = self.tx(params)
+            has_touched = touched is not None
 
             def body(carry, xs):
                 params, state, opt_state = carry
-                batch, arch, lr = xs
+                if has_touched:
+                    batch, arch, lr, tch = xs
+                else:
+                    batch, arch, lr = xs
+                    tch = None
                 params, state, opt_state, m = one_step(
-                    params, state, opt_state, batch, arch, lr)
+                    params, state, opt_state, batch, arch, lr, tch)
                 return (params, state, opt_state), m
 
+            xs = ((batches, archs, lrs, touched) if has_touched
+                  else (batches, archs, lrs))
             (params, state, opt_state), ms = jax.lax.scan(
-                body, (params, state, opt_state), (batches, archs, lrs))
+                body, (params, state, opt_state), xs)
             return params, state, opt_state, jax.tree.map(jnp.mean, ms)
 
         donate_argnums = (0, 1, 2) if donate else ()

@@ -48,3 +48,50 @@ def test_scan_matches_sequential_steps():
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_scan_with_touched_matches_plain_steps():
+    """Scan steps with stacked touched masks == sequential plain steps with
+    the same per-step masks (torch-exact optimizer semantics on the
+    device-side multi-step path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace, sample_subnet
+    from ofa_sr_tpu.train import SRTrainer
+    from ofa_sr_tpu.train.touched import sr_touched_mask
+
+    space = SearchSpace(ks_list=[3, 5], expand_list=[3, 4], depth_list=[1, 2],
+                        pixel_d_list=[1], n_stages=2, width=16)
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(0))
+    tr = SRTrainer(net, opt_type="adam", weight_decay=3e-5)
+    o = tr.init_opt_state(p)
+    rng = np.random.RandomState(0)
+    batch = {"image": jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32),
+             "x2": jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)}
+    n = 3
+    cfgs = [sample_subnet(space, seed=i) for i in range(n)]
+    archs = [c.to_device(space) for c in cfgs]
+    toucheds = [sr_touched_mask(net, p, [c]) for c in cfgs]
+
+    step = tr.make_train_step(n_subnets=1, donate=False)
+    pp, ss, oo = p, s, o
+    for i in range(n):
+        pp, ss, oo, _ = step(pp, ss, oo, batch, (archs[i],),
+                             jnp.asarray(1e-3), toucheds[i])
+
+    scan = tr.make_scan_train_step(n_subnets=1, donate=False)
+    batches = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape),
+                           batch)
+    stacked_archs = (jax.tree.map(lambda *xs: jnp.stack(xs), *archs),)
+    stacked_touched = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs]), *toucheds)
+    lrs = jnp.full((n,), 1e-3, jnp.float32)
+    p2, s2, o2, _ = scan(p, s, o, batches, stacked_archs, lrs,
+                         stacked_touched)
+
+    for a, b in zip(jax.tree.leaves(pp), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)

@@ -62,7 +62,35 @@ SPECIALIZED_CATALOG = _catalog()
 
 def ofa_net(net_id: str = "ofa_mbv3_d234_e346_k357_w1.0",
             checkpoint: Optional[str] = None):
-    """Build a named supernet (reference ofa_net, model_zoo.py:216-242)."""
+    """Build a named supernet (reference ofa_net, model_zoo.py:216-242).
+
+    Beyond the reference's three classification ids, the SR supernets get
+    ids too: 'ofa_s4_d234_e346_k357_pd12' (decoder-only SR) and
+    'ofa_x4_d234_e346_k357_pd12' (downscale+SR autoencoder). `checkpoint`
+    accepts a native .ckpt dir/file or a reference .pth.tar (detected by
+    extension and routed through the torch importers)."""
+    if net_id.startswith(("ofa_s4", "ofa_x4")):
+        import jax
+
+        from .models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
+
+        space = SearchSpace()  # ks 3/5/7, e 3/4/6, d 2/3/4, pixel_d 1/2
+        net = (OFAMobileNetS4(space) if net_id.startswith("ofa_s4")
+               else OFAMobileNetX4(space))
+        params, state = net.init(jax.random.PRNGKey(0))
+        if checkpoint:
+            if checkpoint.endswith((".pth.tar", ".pth", ".tar")):
+                from .train.checkpoint import import_torch_s4, import_torch_x4
+                imp = (import_torch_s4 if net_id.startswith("ofa_s4")
+                       else import_torch_x4)
+                params, state = imp(checkpoint, net)
+            else:
+                from .train.checkpoint import load_checkpoint
+                ckpt = load_checkpoint(checkpoint, template={
+                    "params": params, "state": state})
+                params, state = ckpt["params"], ckpt["state"]
+        return net, params, state
+
     if net_id.startswith("ofa_proxyless"):
         # e.g. ofa_proxyless_d234_e346_k357_w1.3
         wm = float(net_id.split("_w")[-1]) if "_w" in net_id else 1.0

@@ -77,6 +77,11 @@ class RunConfig:
     # this, so a full Set5/Set14-style catalog (14 distinct ModCrop shapes)
     # compiles one program per bucket instead of one per shape. None = off.
     eval_bucket: Optional[int] = None
+    # device-side multi-step training: run this many optimizer steps per
+    # dispatch via lax.scan (amortizes the relay/host dispatch latency —
+    # the production configuration on a remote-attached chip). 1 = one
+    # dispatch per step.
+    steps_per_dispatch: int = 1
     # train the architectures the reference *actually executes* (its
     # runtime_depth indexing quirks, arch.reference_quirk_arch_*) rather
     # than the intended semantics — for exact training-trajectory parity
@@ -148,6 +153,14 @@ class SRRunManager:
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)
+        if run_config.steps_per_dispatch > 1 and run_config.kd_ratio > 0:
+            raise NotImplementedError(
+                "KD is not supported on the multi-step scan path; use "
+                "steps_per_dispatch=1 with kd_ratio > 0")
+        self._scan_step = (
+            self.trainer.make_scan_train_step(
+                n_subnets=run_config.dynamic_batch_size, donate=False)
+            if run_config.steps_per_dispatch > 1 else None)
         self._eval_step = self.trainer.make_eval_step()
 
         if self.mesh is not None:
@@ -274,8 +287,59 @@ class SRRunManager:
         # semantics, progressive_shrinking.py:210-221); accumulated as lazy
         # device scalars so no per-step host sync — only write_log is gated
         # on print_frequency
-        loss_sum = psnr_sum = n_sum = None
+        acc = {"loss": None, "psnr": None, "n": 0}
         t0 = time.time()
+        pending = []
+
+        def record(metrics, n, i, lr, desc):
+            if acc["loss"] is None:
+                acc["loss"] = metrics["loss"] * n
+                acc["psnr"] = metrics["psnr"] * n
+            else:
+                acc["loss"] = acc["loss"] + metrics["loss"] * n
+                acc["psnr"] = acc["psnr"] + metrics["psnr"] * n
+            acc["n"] += n
+            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
+                self.write_log(
+                    "Train [%d][%d/%d]\tloss %.5f\tpsnr %.3f\tlr %.3g\t%s\t%.1fs"
+                    % (epoch + 1, i + 1, n_batch, float(metrics["loss"]),
+                       float(metrics["psnr"]), lr, desc[:48],
+                       time.time() - t0),
+                    prefix="train", should_print=False)
+
+        def flush():
+            if not pending:
+                return
+            if (self._scan_step is not None
+                    and len(pending) == rc.steps_per_dispatch):
+                # one dispatch = the whole window of optimizer steps
+                batches = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *[q[0] for q in pending])
+                archs = tuple(
+                    jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[q[1][k] for q in pending])
+                    for k in range(rc.dynamic_batch_size))
+                lrs = jnp.asarray([q[2] for q in pending], jnp.float32)
+                touched = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *[q[3] for q in pending])
+                (self.params, self.state, self.opt_state,
+                 m) = self._scan_step(self.params, self.state,
+                                      self.opt_state, batches, archs, lrs,
+                                      touched)
+                n_tot = sum(q[4] for q in pending)
+                record(m, n_tot, pending[-1][5], pending[-1][2],
+                       pending[-1][6])
+            else:  # tail shorter than the window: plain steps
+                for (dev_batch, archs, lr, touched, n, i, desc) in pending:
+                    (self.params, self.state, self.opt_state,
+                     m) = self._train_step(self.params, self.state,
+                                           self.opt_state, dev_batch, archs,
+                                           jnp.asarray(lr, jnp.float32),
+                                           touched)
+                    record(m, n, i, lr, desc)
+            pending.clear()
+
         for i, batch in enumerate(loader):
             lr = lr_at_step(rc.base_lr, epoch, i, n_batch, rc.n_epochs,
                             warmup_epochs=rc.warmup_epochs,
@@ -288,28 +352,15 @@ class SRRunManager:
             # executed get no decay/moment/step update (optim.TorchOpt)
             touched = sr_touched_mask(self.net, self.params, descs,
                                       mode=rc.mode)
-            self.params, self.state, self.opt_state, metrics = self._train_step(
-                self.params, self.state, self.opt_state, dev_batch, archs,
-                jnp.asarray(lr, jnp.float32), touched)
-            n = batch["image"].shape[0]
-            if loss_sum is None:
-                loss_sum = metrics["loss"] * n
-                psnr_sum = metrics["psnr"] * n
-                n_sum = n
-            else:
-                loss_sum = loss_sum + metrics["loss"] * n
-                psnr_sum = psnr_sum + metrics["psnr"] * n
-                n_sum += n
-            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
-                l, p = float(metrics["loss"]), float(metrics["psnr"])
-                self.write_log(
-                    "Train [%d][%d/%d]\tloss %.5f\tpsnr %.3f\tlr %.3g\t%s\t%.1fs"
-                    % (epoch + 1, i + 1, n_batch, l, p, lr,
-                       descs[0].describe()[:48], time.time() - t0),
-                    prefix="train", should_print=False)
-        if loss_sum is None:
+            pending.append((dev_batch, archs, lr, touched,
+                            batch["image"].shape[0], i,
+                            descs[0].describe()))
+            if len(pending) == max(rc.steps_per_dispatch, 1):
+                flush()
+        flush()
+        if acc["loss"] is None:
             return 0.0, 0.0
-        return float(loss_sum) / n_sum, float(psnr_sum) / n_sum
+        return float(acc["loss"]) / acc["n"], float(acc["psnr"]) / acc["n"]
 
     def validate(self, cfg: Optional[SubnetConfig] = None, loader=None,
                  recalib_loader=None, frame_log: Optional[str] = None):

@@ -207,3 +207,38 @@ def test_validate_grid_and_shrink_stage_machine(tmp_path):
     # resumable: second call starts past the completed stage (no-op)
     best2 = supporting_elastic(rm, "depth")
     assert best2 == -1e9  # no stages left -> untouched sentinel
+
+
+def test_steps_per_dispatch_matches_per_step_training():
+    """Device-side multi-step training (steps_per_dispatch > 1, lax.scan)
+    produces the same parameters as one-dispatch-per-step training."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofa_sr_tpu.data import SyntheticSRProvider
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace
+    from ofa_sr_tpu.train import RunConfig, SRRunManager
+
+    space = SearchSpace(ks_list=[3, 5], expand_list=[3], depth_list=[1, 2],
+                        pixel_d_list=[1], n_stages=2, width=16)
+
+    def run(spd):
+        net = OFAMobileNetS4(space)
+        provider = SyntheticSRProvider(n_train=20, n_valid=2, hr_size=16,
+                                       train_batch_size=4)
+        cfg = RunConfig(n_epochs=1, base_lr=1e-3, image_size=16,
+                        validation_frequency=10, print_frequency=2,
+                        steps_per_dispatch=spd)
+        rm = SRRunManager("exp/test_spd/%d" % spd, net, cfg, provider)
+        rm.params, rm.state = net.init(jax.random.PRNGKey(7))
+        rm.opt_state = rm.trainer.init_opt_state(rm.params)
+        loss, psnr = rm.train_one_epoch(0)
+        return rm.params, loss
+
+    p1, l1 = run(1)
+    p2, l2 = run(2)  # 5 steps: two windows of 2 + a 1-step tail
+    np.testing.assert_allclose(l2, l1, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)

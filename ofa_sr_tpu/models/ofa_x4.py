@@ -141,27 +141,45 @@ class OFAMobileNetX4:
 
     def encode(self, params, state, x, arch, *, pixel_d: int,
                training: bool = False, bn_training: Optional[bool] = None,
-               remat: bool = False):
-        """HR image -> 3-channel learned downscaled image (2^pixel_d smaller)."""
+               remat: bool = False, valid_hw=None):
+        """HR image -> 3-channel learned downscaled image (2^pixel_d smaller).
+
+        `valid_hw`: shape-bucketed eval masking at the HR input resolution
+        (see OFAMobileNetS4.apply); each unshuffle halves the valid region."""
+        from ..ops.elastic import spatial_valid_mask
         bnt = bool(training if bn_training is None else bn_training)
         new_s = {}
+
+        smask = None
+        if valid_hw is not None:
+            assert not bnt, "bucketed eval is eval-mode only"
 
         unshuf_s = list(state["enc_unshuffle_blocks"])
         for i in range(pixel_d):
             x, unshuf_s[i] = conv_layer_apply(
                 params["enc_unshuffle_blocks"][i], state["enc_unshuffle_blocks"][i],
                 x, act=None, shuffle="unshuffle", training=bnt, bn_cfg=self.bn_cfg)
+            if valid_hw is not None:
+                smask = spatial_valid_mask(
+                    valid_hw[0] // 2 ** (i + 1), valid_hw[1] // 2 ** (i + 1),
+                    x.shape[1], x.shape[2], x.dtype)
+                x = x * smask
         new_s["enc_unshuffle_blocks"] = unshuf_s
 
         enc_big_skip = x
         x, new_s["enc_blocks"] = self._trunk(
-            params["enc_blocks"], state["enc_blocks"], x, arch, 0, bnt, remat)
+            params["enc_blocks"], state["enc_blocks"], x, arch, 0, bnt, remat,
+            spatial_mask=smask)
+        if smask is not None:
+            x = x * smask
 
         fin_s = []
         for i in range(3):
             x, ls = conv_layer_apply(
                 params["enc_final_conv_blocks"][i], state["enc_final_conv_blocks"][i],
                 x, act=None, training=bnt, bn_cfg=self.bn_cfg)
+            if smask is not None:
+                x = x * smask
             fin_s.append(ls)
             if i == 0:
                 x = x + enc_big_skip
@@ -242,10 +260,14 @@ class OFAMobileNetX4:
         elif mode == "autoencoder":
             lr, enc_s = self.encode(params, state, x, arch, pixel_d=pixel_d,
                                     training=training, bn_training=bn_training,
-                                    remat=remat)
+                                    remat=remat, valid_hw=valid_hw)
+            dec_valid = None
+            if valid_hw is not None:
+                dec_valid = (valid_hw[0] // 2 ** pixel_d,
+                             valid_hw[1] // 2 ** pixel_d)
             y, dec_s = self.decode(params, state, lr, arch, pixel_d=pixel_d,
                                    training=training, bn_training=bn_training,
-                                   remat=remat)
+                                   remat=remat, valid_hw=dec_valid)
             new_s = dict(state)
             new_s.update(enc_s)
             new_s.update(dec_s)

@@ -92,12 +92,20 @@ class RunConfig:
         return dataclasses.asdict(self)
 
 
-def _bucket_pad(batch, pixel_d, bucket):
+def _bucket_pad(batch, pixel_d, bucket, mode="sr"):
     """Zero-pad a variable-shape eval batch up to the next bucket multiple
-    (LR resolution), recording the true frame size as 'valid_hw'."""
+    (LR resolution in 'sr' mode, HR in 'autoencoder'), recording the true
+    frame size as 'valid_hw'."""
+    hr = np.asarray(batch["image"])
+    if mode == "autoencoder":
+        h, w = hr.shape[1], hr.shape[2]
+        bh = -(-h // bucket) * bucket
+        bw = -(-w // bucket) * bucket
+        hp = np.zeros((hr.shape[0], bh, bw, hr.shape[3]), hr.dtype)
+        hp[:, :h, :w] = hr
+        return {"image": hp, "valid_hw": np.asarray([h, w], np.int32)}
     key = "x%d" % (2 ** pixel_d)
     x = np.asarray(batch[key])
-    hr = np.asarray(batch["image"])
     h, w = x.shape[1], x.shape[2]
     bh = -(-h // bucket) * bucket
     bw = -(-w // bucket) * bucket
@@ -397,7 +405,8 @@ class SRRunManager:
         try:
             for fi, batch in enumerate(loader):
                 if rc.eval_bucket:
-                    batch = _bucket_pad(batch, cfg.pixel_d, rc.eval_bucket)
+                    batch = _bucket_pad(batch, cfg.pixel_d, rc.eval_bucket,
+                                        rc.mode)
                 dev_batch = self._to_device(batch)
                 out = eval_step(self.params, state, dev_batch, arch)
                 n = batch["image"].shape[0]

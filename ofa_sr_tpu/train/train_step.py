@@ -285,23 +285,32 @@ class SRTrainer:
         from ..ops.elastic import spatial_valid_mask
 
         def step(params, state, batch, arch):
-            lr_key = "x%d" % (2 ** pixel_d)
-            x = batch[lr_key]
-            valid_hw = batch["valid_hw"]
-            kw = dict(pixel_d=pixel_d, training=False, valid_hw=valid_hw)
-            if self.mode == "autoencoder":
-                raise NotImplementedError(
-                    "bucketed eval covers the SR (decoder) envelope")
-            if hasattr(self.net, "decode"):
-                out, _ = self.net.apply(params, state, x, arch, mode="sr",
-                                        **kw)
-            else:
-                out, _ = self.net.apply(params, state, x, arch, **kw)
             hr = batch["image"]
-            scale = 2 ** pixel_d
-            hr_mask = spatial_valid_mask(valid_hw[0] * scale,
-                                         valid_hw[1] * scale,
-                                         hr.shape[1], hr.shape[2], hr.dtype)
+            valid_hw = batch["valid_hw"]
+            if self.mode == "autoencoder":
+                # valid_hw is at HR resolution here (must be divisible by
+                # 2^pixel_d, which ModCrop guarantees)
+                out, _ = self.net.apply(params, state, hr, arch,
+                                        pixel_d=pixel_d, training=False,
+                                        mode="autoencoder",
+                                        valid_hw=valid_hw)
+                hr_mask = spatial_valid_mask(valid_hw[0], valid_hw[1],
+                                             hr.shape[1], hr.shape[2],
+                                             hr.dtype)
+            else:
+                x = batch["x%d" % (2 ** pixel_d)]
+                kw = dict(pixel_d=pixel_d, training=False,
+                          valid_hw=valid_hw)
+                if hasattr(self.net, "decode"):
+                    out, _ = self.net.apply(params, state, x, arch,
+                                            mode="sr", **kw)
+                else:
+                    out, _ = self.net.apply(params, state, x, arch, **kw)
+                scale = 2 ** pixel_d
+                hr_mask = spatial_valid_mask(valid_hw[0] * scale,
+                                             valid_hw[1] * scale,
+                                             hr.shape[1], hr.shape[2],
+                                             hr.dtype)
             sq = jnp.square(out - hr) * hr_mask
             loss = jnp.sum(sq) / (jnp.sum(hr_mask) * hr.shape[0]
                                   * hr.shape[-1])

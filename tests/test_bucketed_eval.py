@@ -103,3 +103,23 @@ def test_run_manager_bucketed_validate():
     l2, p2 = rm2.validate(cfg_a)
     np.testing.assert_allclose(l2, l1, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(p2, p1, rtol=1e-4)
+
+
+def test_bucketed_x4_autoencoder():
+    """Autoencoder-mode bucketing: padded HR input, encode-side unshuffle
+    masking, valid region == unpadded execution."""
+    space = SearchSpace()
+    net = OFAMobileNetX4(space)
+    p, s = net.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    arch = sample_subnet(space, seed=8, n_trunks=2).to_device(space)
+    h, w = 24, 20  # divisible by 2^pd
+    x = rng.rand(1, h, w, 3).astype(np.float32)
+    for pd in (1, 2):
+        y_ref, _ = net.apply(p, s, jnp.asarray(x), arch, pixel_d=pd,
+                             mode="autoencoder", training=False)
+        y_pad, _ = net.apply(p, s, jnp.asarray(_pad(x, 32, 32)), arch,
+                             pixel_d=pd, mode="autoencoder", training=False,
+                             valid_hw=jnp.asarray([h, w], jnp.int32))
+        np.testing.assert_allclose(np.asarray(y_pad)[:, :h, :w],
+                                   np.asarray(y_ref), rtol=5e-4, atol=1e-4)

@@ -74,6 +74,13 @@ def ofa_net(net_id: str = "ofa_mbv3_d234_e346_k357_w1.0",
 
         from .models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
 
+        if net_id not in ("ofa_s4_d234_e346_k357_pd12",
+                          "ofa_x4_d234_e346_k357_pd12"):
+            raise ValueError(
+                "unknown SR supernet id %r (supported: "
+                "ofa_s4_d234_e346_k357_pd12, ofa_x4_d234_e346_k357_pd12; "
+                "build OFAMobileNetS4/X4 with a custom SearchSpace "
+                "directly for other spaces)" % net_id)
         space = SearchSpace()  # ks 3/5/7, e 3/4/6, d 2/3/4, pixel_d 1/2
         net = (OFAMobileNetS4(space) if net_id.startswith("ofa_s4")
                else OFAMobileNetX4(space))

@@ -105,7 +105,10 @@ def _depth_conv_layer_apply(p, s, x, cfg, *, training, bn_cfg):
 
 
 def _linear_layer_init(key, cfg, dtype):
-    """LinearLayer (ofa/layers.py:318-380), torch Linear init."""
+    """LinearLayer (ofa/layers.py:318-380). Weight U(-1/sqrt(in), 1/sqrt(in))
+    with ZERO bias — the reference's operative init is init_model('he_fout')
+    (ofa/utils.py:134-155), which every RunManager applies and which zeroes
+    all biases; torch's module-default bias init never survives it."""
     kin = cfg["in_features"]
     stdv = 1.0 / (kin ** 0.5)
     p = {"linear": {"w": jax.random.uniform(
@@ -132,9 +135,12 @@ def _identity_apply(p, s, x, cfg, *, training, bn_cfg):
 
 
 def _zero_apply(p, s, x, cfg, *, training, bn_cfg):
-    # ZeroLayer (ofa/layers.py:412-444): zeros at the layer's output shape
+    # ZeroLayer (ofa/layers.py:412-444): zeros at h//stride (floor, like
+    # the reference's padding computation), not the ceil that plain
+    # ::stride slicing gives on odd extents
     stride = cfg.get("stride", 1)
-    return jnp.zeros_like(x[:, ::stride, ::stride, :]), {}
+    h, w = x.shape[1] // stride, x.shape[2] // stride
+    return jnp.zeros_like(x[:, :h, :w, :]), {}
 
 
 def _pooling_init(key, cfg, dtype):

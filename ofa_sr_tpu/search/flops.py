@@ -74,18 +74,25 @@ def s4_subnet_flops(cfg: SubnetConfig, space: SearchSpace, hr_size=96,
 
 
 def cls_subnet_flops(net, arch, image_size=224):
-    """MACs of a classification subnet (net: ElasticClassifierNet)."""
+    """MACs of a classification subnet (net: ElasticClassifierNet),
+    honoring runtime elastic width (arch.wid) via the same
+    active_block_channels widths the forward executes."""
     from ..utils.common import make_divisible
+    wid = (len(net.width_mult_list) - 1 if getattr(arch, "wid", None) is None
+           else arch.wid)
+    ins, outs = net.active_block_channels(wid)
+    fw = net.first_conv_widths[wid]
+    fbo = net.first_block_outs[wid]
+    fm_w = net.feature_mix_widths[wid]
     hw = image_size // 2
-    f = _conv_macs(hw, hw, 3, net.first_conv_width, 3)
+    f = _conv_macs(hw, hw, 3, fw, 3)
     # first block (e1, k3)
-    w0 = net.first_conv_width
-    f += _conv_macs(hw, hw, w0, w0, 3, groups=w0)
-    f += _conv_macs(hw, hw, w0, net.first_block_out, 1)
+    f += _conv_macs(hw, hw, fw, fw, 3, groups=fw)
+    f += _conv_macs(hw, hw, fw, fbo, 1)
     bi = 0
     for si, spec in enumerate(net.stage_specs):
         for i in range(spec.n_block):
-            in_ch = net.block_layout()[bi][0]
+            in_ch, out_ch = ins[bi], outs[bi]
             stride = spec.stride if i == 0 else 1
             if i < arch.d[si] or i == 0:
                 mid = make_divisible(round(in_ch * arch.e[bi]), 8)
@@ -96,17 +103,18 @@ def cls_subnet_flops(net, arch, image_size=224):
                 if spec.se:
                     se_mid = make_divisible(mid // 4, 8)
                     f += mid * se_mid * 2
-                f += _conv_macs(hw2, hw2, mid, spec.width, 1)
+                f += _conv_macs(hw2, hw2, mid, out_ch, 1)
             if i == 0:
                 hw //= stride
             bi += 1
-    last_w = net.stage_specs[-1].width
+    last_w = outs[-1]
     if net.final_expand_width:
         f += _conv_macs(hw, hw, last_w, net.final_expand_width, 1)
         f += net.final_expand_width * net.feature_mix_width
+        f += net.feature_mix_width * net.n_classes
     else:
-        f += _conv_macs(hw, hw, last_w, net.feature_mix_width, 1)
-    f += net.feature_mix_width * net.n_classes
+        f += _conv_macs(hw, hw, last_w, fm_w, 1)
+        f += fm_w * net.n_classes
     return f
 
 

@@ -185,10 +185,18 @@ class SRRunManager:
     def _to_device(self, batch):
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
-            bs = next(iter(dev.values())).shape[0]
+            # scalar metadata like 'valid_hw' (shape (2,)) must replicate,
+            # not shard along its first dim
+            data = {k: v for k, v in dev.items() if k != "valid_hw"}
+            bs = dev["image"].shape[0]
             if bs % self.mesh.size == 0:
-                from ..parallel import shard_batch
-                dev = shard_batch(dev, self.mesh)
+                from ..parallel import shard_batch, shard_params
+                data = shard_batch(data, self.mesh)
+                dev = dict(data)
+                if "valid_hw" in batch:
+                    dev["valid_hw"] = shard_params(
+                        {"v": jnp.asarray(batch["valid_hw"])},
+                        self.mesh)["v"]
             # else (e.g. the bs=1 eval loader): leave unsharded — jit
             # executes it single-device against the replicated params
         return dev
@@ -349,6 +357,19 @@ class SRRunManager:
             pending.clear()
 
         for i, batch in enumerate(loader):
+            if i == 0 and rc.mode != "autoencoder":
+                # paired datasets (codec) emit a single xN key: constrain
+                # pixel_d sampling to the branches that actually exist so
+                # the sampled arch, the executed arch, the touched masks,
+                # and the logs all agree (the reference handled this with a
+                # comment-toggled input; here it is a sampling constraint)
+                avail = [pd for pd in self.net.space.pixel_d_list
+                         if "x%d" % (2 ** pd) in batch]
+                if avail and set(avail) != set(self.net.space.pixel_d_list):
+                    constraints = dict(constraints or {})
+                    existing = constraints.get("pixel_d_candidates")
+                    merged = [p for p in (existing or avail) if p in avail]
+                    constraints["pixel_d_candidates"] = merged or avail
             lr = lr_at_step(rc.base_lr, epoch, i, n_batch, rc.n_epochs,
                             warmup_epochs=rc.warmup_epochs,
                             warmup_lr=rc.warmup_lr,

@@ -20,10 +20,6 @@ def _fill(tree, value):
     return jax.tree.map(lambda _: np.bool_(value), tree)
 
 
-def _or_(a, b):
-    return jax.tree.map(lambda x, y: np.bool_(x or y), a, b)
-
-
 def _kt_touched(kt_params, ks_list, ks_used):
     """Which transform matrices the executed kernel sizes pull into the
     graph: the chain applies largest->smallest down to the target
@@ -39,8 +35,11 @@ def _kt_touched(kt_params, ks_list, ks_used):
 
 def _mb_touched(bp, ks_list, ks_used, on):
     out = _fill(bp, on)
-    if on and "kt" in bp:
-        out["kt"] = _kt_touched(bp["kt"], ks_list, ks_used)
+    # kernel-transform matrices live under the depthwise conv
+    # (models/layers.mbconv_init: p['depth_conv']['kt'])
+    if on and "kt" in bp.get("depth_conv", {}):
+        out["depth_conv"]["kt"] = _kt_touched(bp["depth_conv"]["kt"],
+                                              ks_list, ks_used)
     return out
 
 

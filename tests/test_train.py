@@ -190,3 +190,37 @@ def test_eval_step():
     out = ev(p, s, _batch(), max_subnet(SMALL).to_device(SMALL))
     assert out["output"].shape == (2, 16, 16, 3)
     assert np.isfinite(float(out["psnr"]))
+
+
+def test_touched_kernel_transform_masks():
+    """The touched masks must gate the kernel-transform matrices by the
+    executed kernel sizes: ks=7 touches none, ks=5 touches 7to5, ks=3
+    touches both; depth-skipped blocks are fully untouched."""
+    import jax
+    import numpy as np
+
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace
+    from ofa_sr_tpu.models.arch import SubnetConfig
+    from ofa_sr_tpu.train.touched import sr_touched_mask
+
+    space = SearchSpace(ks_list=[3, 5, 7], expand_list=[3], depth_list=[1, 2],
+                        pixel_d_list=[1, 2], n_stages=2, width=16)
+    net = OFAMobileNetS4(space)
+    p, _ = net.init(jax.random.PRNGKey(0))
+    n = space.blocks_per_trunk
+    cfg = SubnetConfig(ks=(7, 3, 5, 3), e=(3,) * n, d=(2, 1), pixel_d=1)
+    t = sr_touched_mask(net, p, [cfg])
+
+    kt0 = t["blocks"][0]["depth_conv"]["kt"]
+    assert kt0 == {"7to5": False, "5to3": False}          # ks=7
+    kt1 = t["blocks"][1]["depth_conv"]["kt"]
+    assert kt1 == {"7to5": True, "5to3": True}            # ks=3
+    kt2 = t["blocks"][2]["depth_conv"]["kt"]
+    assert kt2 == {"7to5": True, "5to3": False}           # ks=5
+    # stage 1 depth=1: block 3 never executes -> fully untouched
+    assert not any(jax.tree.leaves(t["blocks"][3]))
+    # shuffle head: pixel_d=1 -> second shuffle block untouched
+    assert all(jax.tree.leaves(t["shuffle_blocks"][0]))
+    assert not any(jax.tree.leaves(t["shuffle_blocks"][1]))
+    # mask tree structure matches the params tree (TorchOpt tree.map works)
+    jax.tree.map(lambda a, b: None, p, t)

@@ -46,6 +46,23 @@ def dispatch_rtt_ms(jax, jnp, n=10):
     return (time.perf_counter() - t0) / n * 1000
 
 
+def probed_matmul_tflops(jax, jnp, n=8):
+    """Measured bf16 MXU throughput right now (device-health probe): a
+    chained 4096^3 matmul, value-fetch terminated. The relayed chip's
+    effective rate has been observed anywhere from ~3 to ~100+ TF/s."""
+    a = jnp.asarray(np.random.RandomState(0).rand(4096, 4096) * 1e-3,
+                    jnp.bfloat16)
+    f = jax.jit(lambda m: (m @ m) * 1e-3)
+    b = f(a)
+    _ = float(np.asarray(jnp.sum(b.astype(jnp.float32))))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        b = f(b)
+    _ = float(np.asarray(jnp.sum(b.astype(jnp.float32))))
+    dt = (time.perf_counter() - t0) / n
+    return 2 * 4096 ** 3 / dt / 1e12
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -100,6 +117,7 @@ def main():
     best_ms = window_ms[0]
     median_ms = window_ms[len(window_ms) // 2]
     rtt = dispatch_rtt_ms(jax, jnp)
+    peak_probe = probed_matmul_tflops(jax, jnp)
 
     imgs_per_sec = bs / (best_ms / 1000)
     # masked execution pays max kernel/expand inside each *executed* block;
@@ -128,6 +146,9 @@ def main():
             "step_ms_median": round(median_ms, 3),
             "window_spread_ms": [round(x, 3) for x in window_ms],
             "dispatch_rtt_ms": round(rtt, 2),
+            "probed_matmul_tflops": round(peak_probe, 1),
+            "vs_probed_peak": round(
+                (flops_step / (best_ms / 1000)) / (peak_probe * 1e12), 4),
             "timing": "value-fetch terminated (readiness through the relay "
                       "can report early)",
             "warm_loss": round(warm_loss, 5),

@@ -103,6 +103,26 @@ def main():
     print("  %s -> %s in %.2f ms/frame (BN folded, jitted static subnet)"
           % (tuple(xin.shape), tuple(y.shape), ms))
 
+    # -- 7. serialize the winner (the ofa_specialized deployment contract) ----
+    import json
+
+    arch_json = json.dumps(best.to_dict())
+    print("\n== serialized winner (SubnetConfig JSON) ==")
+    print("  %s" % arch_json[:76])
+    from ofa_sr_tpu.models.arch import SubnetConfig
+    assert SubnetConfig.from_dict(json.loads(arch_json)) == best
+
+    # -- 8. big frames: overlap-tiled inference (one compile, any size) -------
+    from ofa_sr_tpu.train import receptive_field_radius, tiled_sr_infer
+
+    halo = receptive_field_radius(best, space)
+    big = np.random.rand(1, 72, 88, 3).astype(np.float32)
+    y_big = tiled_sr_infer(lambda t: jwin(jnp.asarray(t)), big,
+                           tile=16, halo=halo, scale=2 ** best.pixel_d)
+    print("\n== tiled large-frame inference ==")
+    print("  %s -> %s via 16px tiles, halo %d (receptive-field exact)"
+          % (tuple(big.shape), tuple(y_big.shape), halo))
+
 
 if __name__ == "__main__":
     main()

@@ -83,3 +83,44 @@ def reorganize_x4(params, state, space: SearchSpace, expand_ratio_stage: int = 0
         p[key] = [b[0] for b in blocks]
         s[key] = [b[1] for b in blocks]
     return p, s
+
+
+def zero_last_gamma(net, params):
+    """Zero the point-linear BN scale of every MBConv block that has an
+    identity shortcut — the residual-branch zero-init trick the reference
+    nets expose (mobilenet_v3.py:80-85, proxyless_nets.py:135-139,
+    mobilenet_s4.py:81-85, mobilenet_x4.py:97-101; defined on every net,
+    never invoked by the scripts). Returns new params.
+
+    Works for OFAMobileNetS4/X4 (every trunk block is stride-1
+    same-width -> all get zeroed) and ElasticClassifierNet (blocks after
+    the first of each stage)."""
+    import jax
+
+    params = jax.tree.map(lambda a: a, params)  # shallow copy of the tree
+
+    def zero_pl(bp):
+        bp = dict(bp)
+        bn = dict(bp["point_linear"]["bn"])
+        bn["scale"] = jnp.zeros_like(bn["scale"])
+        bp["point_linear"] = dict(bp["point_linear"], bn=bn)
+        return bp
+
+    if hasattr(net, "stage_specs"):  # classification net
+        new_blocks = []
+        bi = 0
+        ins, outs = net.active_block_channels(len(net.width_mult_list) - 1)
+        for si, spec in enumerate(net.stage_specs):
+            for i in range(spec.n_block):
+                has_shortcut = (spec.stride if i == 0 else 1) == 1 and \
+                    ins[bi] == outs[bi]
+                new_blocks.append(zero_pl(params["blocks"][bi])
+                                  if has_shortcut else params["blocks"][bi])
+                bi += 1
+        params["blocks"] = new_blocks
+        return params
+
+    for key in ("blocks", "enc_blocks", "dec_blocks"):
+        if key in params:
+            params[key] = [zero_pl(bp) for bp in params[key]]
+    return params

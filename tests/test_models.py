@@ -149,3 +149,30 @@ def test_jit_no_recompile_across_subnets():
         cfg = sample_subnet(SMALL, seed=seed, pixel_d_candidates=[1], n_trunks=1)
         jfwd(p, s, x, cfg.to_device(SMALL)).block_until_ready()
     assert calls["n"] == 1, "retraced %d times" % calls["n"]
+
+
+def test_zero_last_gamma():
+    import jax
+    import numpy as np
+
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace
+    from ofa_sr_tpu.models.ofa_cls import OFAMobileNetV3
+    from ofa_sr_tpu.models.reorganize import zero_last_gamma
+
+    space = SearchSpace(ks_list=[3, 5], expand_list=[3], depth_list=[2],
+                        pixel_d_list=[1], n_stages=2, width=16)
+    net = OFAMobileNetS4(space)
+    p, _ = net.init(jax.random.PRNGKey(0))
+    p2 = zero_last_gamma(net, p)
+    for bp in p2["blocks"]:
+        assert float(np.abs(bp["point_linear"]["bn"]["scale"]).max()) == 0.0
+    # original untouched
+    assert float(np.abs(p["blocks"][0]["point_linear"]["bn"]["scale"]).max()) == 1.0
+
+    cls = OFAMobileNetV3(n_classes=10)
+    cp, _ = cls.init(jax.random.PRNGKey(1))
+    cp2 = zero_last_gamma(cls, cp)
+    # first block of each stage (stride/width change): untouched
+    assert float(np.abs(cp2["blocks"][0]["point_linear"]["bn"]["scale"]).max()) == 1.0
+    # later blocks in a stage: zeroed
+    assert float(np.abs(cp2["blocks"][1]["point_linear"]["bn"]["scale"]).max()) == 0.0

@@ -270,16 +270,19 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                             expand_switch=expand_switch,
                             spatial_mask=spatial_mask)
 
-    # rematerialize alternate blocks' activations in the backward pass:
-    # full residuals ((B,H,W,max_mid) x 16 blocks) exceed HBM at batch
-    # 16/96px (~17.3G vs 15.75G); checkpointing every other block halves the
-    # recompute of checkpointing all while fitting comfortably
+    # rematerialize block activations in the backward pass. Modes:
+    #   False          — keep everything (full residuals x 16 blocks exceed
+    #                    HBM at batch 16/96px f32: ~17.3G vs 15.75G)
+    #   True           — alternate blocks (default: halves the recompute of
+    #                    checkpointing all while fitting comfortably)
+    #   "all"          — checkpoint every block (minimum memory, ~33% extra
+    #                    FLOPs; the right setting for bigger batches/frames)
     remat_block_fn = jax.checkpoint(plain_block_fn) if remat else plain_block_fn
 
     def block_fn(i, *args):
         # expand-switch branches multiply live buffers: checkpoint every
-        # block there; otherwise alternate (halves the recompute)
-        if expand_switch:
+        # block there; otherwise follow the requested mode
+        if expand_switch or remat == "all":
             return remat_block_fn(*args)
         return (remat_block_fn if i % 2 == 1 else plain_block_fn)(*args)
 

@@ -104,7 +104,10 @@ def kernel_candidates(weight, matrices, ks_list, use_transform=True):
     cands = []
     for ks in ks_set:
         eff = transform_kernel_chain(weight, matrices, ks_list, ks, use_transform)
-        cands.append(embed_center(eff, max_ks))
+        # under mixed precision the transform runs in f32 (the matrices stay
+        # f32 — train_step.cast_params_for_compute); bring the effective
+        # kernel back to the bank dtype so the conv sees uniform dtypes
+        cands.append(embed_center(eff, max_ks).astype(weight.dtype))
     return jnp.stack(cands, axis=0)
 
 

@@ -34,6 +34,24 @@ from ..utils.metrics import psnr_y_device
 from .optim import TorchOpt, no_decay_mask
 
 
+def cast_params_for_compute(params, dtype):
+    """Cast the compute-heavy weights (conv/linear banks) to `dtype`, keeping
+    the numerically sensitive small tensors in f32:
+    - BN scale/bias: consumed inside the f32 normalization math
+      (ops/norm.py) — casting them only loses mantissa and adds converts;
+    - kernel-transform matrices ('kt'): the 7->5->3 transform chain runs at
+      HIGHEST precision on tiny (k^2 x k^2) matrices (ops/elastic.py), so
+      keeping them f32 is free fidelity.
+    """
+    def cast(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if "bn" in keys or "kt" in keys:
+            return leaf
+        return leaf.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 class SRTrainer:
     """Owns the compiled train/eval steps for an SR supernet (S4 or X4).
 
@@ -98,7 +116,7 @@ class SRTrainer:
         kw = dict(training=training, bn_training=bn_training, remat=remat)
         if self.compute_dtype is not None:
             cd = self.compute_dtype
-            params = jax.tree.map(lambda a: a.astype(cd), params)
+            params = cast_params_for_compute(params, cd)
             batch = {k: v.astype(cd) for k, v in batch.items()}
         if self.mode == "autoencoder":
             pds = sorted(self.net.space.pixel_d_list)

@@ -224,3 +224,69 @@ def test_touched_kernel_transform_masks():
     assert not any(jax.tree.leaves(t["shuffle_blocks"][1]))
     # mask tree structure matches the params tree (TorchOpt tree.map works)
     jax.tree.map(lambda a, b: None, p, t)
+
+
+def test_remat_modes_same_gradients():
+    """All remat modes are pure scheduling: loss and gradients must agree
+    (to float tolerance — rematerialization reorders fusions) across
+    False/True/'pair'/'all'."""
+    net = OFAMobileNetS4(SMALL)
+    params, state = net.init(jax.random.PRNGKey(0))
+    batch = _batch()
+    arch = uniform_subnet(SMALL, ks=5, e=3, d=2, pixel_d=1).to_device(SMALL)
+
+    outs = []
+    for remat in (False, True, "pair", "all"):
+        tr = SRTrainer(net, opt_type="adam", weight_decay=3e-5, remat=remat)
+
+        @jax.jit
+        def lossgrad(p):
+            (loss, (st, _)), g = jax.value_and_grad(
+                tr._subnet_loss, has_aux=True)(p, state, batch, arch, None)
+            return loss, g, st
+        outs.append(lossgrad(params))
+
+    loss0, g0, st0 = outs[0]
+    for loss, g, st in outs[1:]:
+        assert abs(float(loss) - float(loss0)) < 1e-6
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(st0), jax.tree.leaves(st)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """Mixed precision: bf16 step runs, loss stays close to f32, params are
+    updated in f32 (master copies), and the selective cast keeps BN params +
+    kernel-transform matrices in f32."""
+    from ofa_sr_tpu.train.train_step import cast_params_for_compute
+
+    net = OFAMobileNetS4(SMALL)
+    params, state = net.init(jax.random.PRNGKey(0))
+    batch = _batch()
+    arch = uniform_subnet(SMALL, ks=3, e=2, d=2, pixel_d=1).to_device(SMALL)
+
+    cast = cast_params_for_compute(params, jnp.bfloat16)
+
+    def check(path, a):
+        keys = [getattr(k, "key", None) for k in path]
+        if "bn" in keys or "kt" in keys:
+            assert a.dtype == jnp.float32, path
+        else:
+            assert a.dtype == jnp.bfloat16, path
+    jax.tree_util.tree_map_with_path(check, cast)
+
+    losses = {}
+    for cd in (None, jnp.bfloat16):
+        tr = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
+                       compute_dtype=cd, remat=False)
+        step = tr.make_train_step(n_subnets=1, donate=False)
+        o = tr.init_opt_state(params)
+        p, s, o, m = step(params, state, o, batch, (arch,), jnp.float32(1e-3))
+        losses[cd] = float(m["loss"])
+        for leaf in jax.tree.leaves(p):
+            assert leaf.dtype == jnp.float32  # master params stay f32
+    assert abs(losses[None] - losses[jnp.bfloat16]) < 0.02 * max(
+        1.0, abs(losses[None]))

@@ -33,6 +33,24 @@ def test_fused_mbconv_matches_reference_all_kernels():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_mbconv_multi_strip_and_chunk():
+    """Shapes that force n_t > 1 row strips (halo from neighbor blocks) and
+    width > 128 (multiple W chunks inside the kernel)."""
+    from ofa_sr_tpu.ops.pallas.mbconv import _pick_tile, _strip_rows
+    rng = np.random.RandomState(4)
+    c, m, ks = 8, 16, 5
+    h, w_ = 64, 256
+    assert _strip_rows(h, w_, c, ks // 2) < h      # multiple strips
+    assert _pick_tile(w_, lo=8, hi=128) < w_       # multiple chunks
+    x = jnp.asarray(rng.randn(1, h, w_, c).astype(np.float32))
+    w = _weights(c, m, ks, seed=11)
+    ref = mbconv_reference(x, **w)
+    got = fused_mbconv_infer(x, w["ib_w"], w["ib_b"], w["dw_w"], w["dw_b"],
+                             w["pl_w"], w["pl_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_mbconv_no_residual():
     rng = np.random.RandomState(2)
     c, m, ks = 8, 16, 5
@@ -70,7 +88,8 @@ def test_fused_shuffle_tail_interpret():
         shuffle_tail_reference,
     )
     rng = np.random.RandomState(7)
-    for h, w_ in ((12, 16), (6, 8)):
+    # h=32 forces two row strips (t=16), exercising the shifted-view halo
+    for h, w_ in ((12, 16), (6, 8), (32, 16)):
         x = jnp.asarray(rng.rand(2, h, w_, 64), jnp.float32)
         w = jnp.asarray(rng.randn(5, 5, 64, 256) * 0.05, jnp.float32)
         b = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)

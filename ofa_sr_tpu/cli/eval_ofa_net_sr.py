@@ -49,6 +49,14 @@ def build_args(argv=None):
                    help="with --materialize: overlap-tiled inference with "
                         "this LR tile size (1080p+ VMEM strategy; halo "
                         "auto-sized to the subnet's receptive field)")
+    p.add_argument("--tile_mesh", action="store_true",
+                   help="with --tile: shard the window batch over all "
+                        "devices (one frame's tiles run on the whole slice "
+                        "in parallel)")
+    p.add_argument("--spatial_mesh", action="store_true",
+                   help="with --materialize: shard each frame's rows over "
+                        "the device mesh with ICI halo exchange "
+                        "(parallel/spatial.py; alternative to --tile)")
     return p.parse_args(argv)
 
 
@@ -78,18 +86,39 @@ def main(argv=None):
         subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg)
         jsub = jax.jit(subnet)
         infer = jsub
-        if args.tile:
+        if args.spatial_mesh:
+            from ..parallel import make_mesh
+            from ..parallel.spatial import make_spatial_infer
+            from ..train.tiled_infer import receptive_field_radius
+            halo = receptive_field_radius(sub_cfg, space)
+            scale = 2 ** sub_cfg.pixel_d
+            run_sp = make_spatial_infer(subnet, make_mesh(), halo=halo,
+                                        scale=scale)
+
+            def infer(x):  # noqa: F811 — mesh-spatial path
+                return jnp.asarray(run_sp(np.asarray(x)))
+        elif args.tile:
             from ..train.tiled_infer import (
                 receptive_field_radius,
                 tiled_sr_infer,
+                tiled_sr_infer_mesh,
             )
             halo = receptive_field_radius(sub_cfg, space)
             scale = 2 ** sub_cfg.pixel_d
 
-            def infer(x):  # noqa: F811 — tiled path replaces direct jit
-                return jnp.asarray(tiled_sr_infer(
-                    lambda t: jsub(jnp.asarray(t)), np.asarray(x),
-                    tile=args.tile, halo=halo, scale=scale))
+            if args.tile_mesh:
+                from ..parallel.mesh import make_mesh
+                mesh = make_mesh()
+
+                def infer(x):  # noqa: F811 — mesh-tiled path
+                    return jnp.asarray(tiled_sr_infer_mesh(
+                        lambda t: jsub(jnp.asarray(t)), np.asarray(x),
+                        tile=args.tile, halo=halo, scale=scale, mesh=mesh))
+            else:
+                def infer(x):  # noqa: F811 — tiled path replaces direct jit
+                    return jnp.asarray(tiled_sr_infer(
+                        lambda t: jsub(jnp.asarray(t)), np.asarray(x),
+                        tile=args.tile, halo=halo, scale=scale))
         key = "x%d" % (2 ** sub_cfg.pixel_d)
         log_f = open(args.frame_log, "a") if args.frame_log else None
         psnrs, times = [], []

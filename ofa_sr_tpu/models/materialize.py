@@ -157,7 +157,26 @@ class StaticSubnet:
 
     # -- forward ---------------------------------------------------------------
 
-    def _conv_layer(self, lp, x, *, act=None, shuffle=None):
+    @staticmethod
+    def _row_mask(x, row_valid, f):
+        """Re-zero rows outside [lo*f, hi*f) — `row_valid` is (lo, hi) traced
+        ints at the *input* resolution, `f` the current upscale factor.
+
+        This is the bucketed-eval equivalence (ops/elastic.spatial_valid_mask)
+        restricted to rows: zeroing the out-of-frame region before every
+        spatial conv makes the valid rows bitwise equal to the SAME-padded
+        execution of the unpadded frame. Used by parallel/spatial.py where a
+        device's slab carries a zero halo at a true frame edge."""
+        if row_valid is None:
+            return x
+        lo, hi = row_valid
+        rows = jnp.arange(x.shape[1])
+        m = ((rows >= lo * f) & (rows < hi * f)).astype(x.dtype)
+        return x * m[None, :, None, None]
+
+    def _conv_layer(self, lp, x, *, act=None, shuffle=None, row_valid=None,
+                    f=1):
+        x = self._row_mask(x, row_valid, f)
         y = conv2d(x, lp["w"])
         if self.fold_bn:
             y = y + lp["b"]
@@ -170,9 +189,10 @@ class StaticSubnet:
             y = pixel_unshuffle(y, 2)
         return apply_act(y, act)
 
-    def _mbconv(self, bp, x):
+    def _mbconv(self, bp, x, row_valid=None, f=1):
         y = conv2d(x, bp["ib"]["w"])
         y = self._post(bp["ib"], y, act="relu6")
+        y = self._row_mask(y, row_valid, f)  # only the depthwise is spatial
         y = depthwise_conv2d(y, bp["dw"]["w"])
         y = self._post(bp["dw"], y, act="relu6")
         y = conv2d(y, bp["pl"]["w"])
@@ -187,12 +207,19 @@ class StaticSubnet:
                               eps=self.eps)
         return apply_act(y, act)
 
-    def __call__(self, x):
+    def __call__(self, x, row_valid=None):
         """params are baked in; x is the LR input ('sr') or HR
         ('autoencoder'). Jit `subnet(x)` directly — each materialized config
-        is its own small compiled program."""
+        is its own small compiled program.
+
+        `row_valid` (optional): (lo, hi) traced ints marking the valid input
+        rows; rows outside are re-zeroed before every spatial conv so the
+        valid region matches the unpadded execution exactly (used by
+        parallel/spatial.py for mesh-sharded frames and for row-padded
+        shapes). 'sr' mode only."""
         m = self.params
         if self.is_x4 and self.mode == "autoencoder":
+            assert row_valid is None, "row_valid supports 'sr' mode only"
             for lp in m["enc_unshuffle"]:
                 x = self._conv_layer(lp, x, shuffle="unshuffle")
             skip = x
@@ -203,22 +230,27 @@ class StaticSubnet:
                 x = self._conv_layer(lp, x)
                 if i == 0:
                     x = x + skip
-        x = self._conv_layer(m["dec_first"], x)
+        rv = row_valid
+        x = self._conv_layer(m["dec_first"], x, row_valid=rv)
         skip = x
         for stage in m["dec_stages"]:
             for bp in stage:
-                x = self._mbconv(bp, x) + x
+                x = self._mbconv(bp, x, row_valid=rv) + x
         for i, lp in enumerate(m["dec_final"]):
-            x = self._conv_layer(lp, x)
+            x = self._conv_layer(lp, x, row_valid=rv)
             if i == 0:
                 x = x + skip
+        f = 1
         for lp in m["shuffle"]:
             if self.use_pallas and self.fold_bn:
                 from ..ops.pallas.shuffle_tail import fused_shuffle_tail
-                x = fused_shuffle_tail(x, lp["w"], lp["b"])
+                x = fused_shuffle_tail(self._row_mask(x, rv, f), lp["w"],
+                                       lp["b"])
             else:
-                x = self._conv_layer(lp, x, shuffle="shuffle")
-        return self._conv_layer(m["dec_out"], x)
+                x = self._conv_layer(lp, x, shuffle="shuffle", row_valid=rv,
+                                     f=f)
+            f *= 2
+        return self._conv_layer(m["dec_out"], x, row_valid=rv, f=f)
 
 
 def get_active_subnet(net, params, state, cfg: SubnetConfig, *,

@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .spatial import make_spatial_infer, pad_rows
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "shard_params",
+    "make_spatial_infer",
+    "pad_rows",
 ]

@@ -55,6 +55,72 @@ def _positions(extent, t):
     return pos
 
 
+def _windows(x, tile, halo):
+    """Collect the clamped overlap windows of an LR frame.
+
+    Returns (windows [N, win, win, C], placements [(ti, tj, off_i, off_j)]).
+    """
+    _, h, w, _ = x.shape
+    win = tile + 2 * halo
+    wins, place = [], []
+    for ti in _positions(h, tile):
+        src_i = min(max(ti - halo, 0), h - win)
+        for tj in _positions(w, tile):
+            src_j = min(max(tj - halo, 0), w - win)
+            wins.append(x[0, src_i:src_i + win, src_j:src_j + win])
+            place.append((ti, tj, ti - src_i, tj - src_j))
+    return np.stack(wins), place
+
+
+def tiled_sr_infer_mesh(subnet_fn, x, *, tile: int, halo: int, scale: int,
+                        mesh=None, windows_per_device: int = 1):
+    """Mesh-parallel tiled inference: the frame's overlap windows are batched
+    and the window batch is sharded over the mesh's devices, so one 1080p
+    frame's tiles run on all chips of a slice concurrently (SURVEY.md §5.7's
+    spatial-sharding strategy — tile-level sharding needs zero per-layer
+    communication because each window already carries its receptive-field
+    halo, unlike per-conv halo exchange which pays an ICI hop per layer).
+
+    `subnet_fn` must accept a batched LR input (B, win, win, C). The window
+    batch is padded up to a fixed (n_devices * windows_per_device) chunk so
+    every dispatch reuses one compiled program. Per-window results are
+    identical to `tiled_sr_infer` (same windows, batched execution).
+    """
+    import jax
+    from ..parallel.mesh import batch_sharding, make_mesh
+
+    x = np.asarray(x)
+    b, h, w, c = x.shape
+    assert b == 1, "frame-at-a-time inference (reference eval is bs=1)"
+    win = tile + 2 * halo
+    if h < win or w < win:
+        return np.asarray(subnet_fn(x))
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    chunk = n_dev * windows_per_device
+    sharding = batch_sharding(mesh)
+
+    wins, place = _windows(x, tile, halo)
+    n = wins.shape[0]
+    out = np.zeros((1, h * scale, w * scale, c), x.dtype)
+    for start in range(0, n, chunk):
+        part = wins[start:start + chunk]
+        if part.shape[0] < chunk:  # pad the tail chunk (one compile total)
+            pad = np.repeat(part[-1:], chunk - part.shape[0], axis=0)
+            part = np.concatenate([part, pad], axis=0)
+        part = jax.device_put(part, sharding)
+        res = np.asarray(subnet_fn(part))
+        for k in range(min(chunk, n - start)):
+            ti, tj, off_i, off_j = place[start + k]
+            out[0, ti * scale:(ti + tile) * scale,
+                tj * scale:(tj + tile) * scale] = res[
+                k, off_i * scale:(off_i + tile) * scale,
+                off_j * scale:(off_j + tile) * scale]
+    return out
+
+
 def tiled_sr_infer(subnet_fn, x, *, tile: int, halo: int, scale: int):
     """Run `subnet_fn` (LR (1,h,w,3) -> HR (1,h*scale,w*scale,3), jitted)
     over overlapping tiles of the LR frame `x` and stitch.

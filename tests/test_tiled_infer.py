@@ -45,3 +45,31 @@ def test_insufficient_halo_actually_differs():
     y_bad = tiled_sr_infer(lambda t: jsub(jnp.asarray(t)), x,
                            tile=16, halo=1, scale=2)
     assert np.abs(y_bad - y_full).max() > 1e-4
+
+
+def test_mesh_tiled_matches_sequential_and_full():
+    """Window batch sharded over the 8-device CPU mesh == sequential tiled
+    == full frame (tile-level spatial sharding, SURVEY §5.7)."""
+    from ofa_sr_tpu.parallel import make_mesh
+    from ofa_sr_tpu.train.tiled_infer import tiled_sr_infer_mesh
+
+    assert jax.device_count() >= 8
+    space = SearchSpace(ks_list=[3, 5], expand_list=[3], depth_list=[2],
+                        pixel_d_list=[1, 2], n_stages=2, width=16)
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(2))
+    cfg = uniform_subnet(space, 5, 3, 2, 1)
+    subnet = get_active_subnet(net, p, s, cfg)
+    jsub = jax.jit(subnet)
+    halo = receptive_field_radius(cfg, space)
+    x = np.random.RandomState(5).rand(1, 48, 64, 3).astype(np.float32)
+
+    y_full = np.asarray(jsub(jnp.asarray(x)))
+    y_seq = tiled_sr_infer(lambda t: jsub(jnp.asarray(t)), x,
+                           tile=16, halo=halo, scale=2)
+    mesh = make_mesh()
+    y_mesh = tiled_sr_infer_mesh(jsub, x, tile=16, halo=halo, scale=2,
+                                 mesh=mesh)
+    # same windows, batched+sharded execution: only conv batching noise
+    np.testing.assert_allclose(y_mesh, y_seq, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(y_mesh, y_full, rtol=1e-4, atol=2e-5)

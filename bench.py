@@ -129,6 +129,44 @@ def main():
     rtt = dispatch_rtt_ms(jax, jnp)
     peak_probe = probed_matmul_tflops(jax, jnp)
 
+    # -- deployment half of the north star: materialized-subnet inference ----
+    # Reference eval envelope (eval_ofa_net_sr.py:218-220,111,167): 720p
+    # frames, bs=1, subnet ks=7 e=6 d=2 pixel_d=2 (LR = 320x180).
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    from ofa_sr_tpu.models.materialize import get_active_subnet
+
+    eval_detail = {}
+    try:
+        sub_cfg = uniform_subnet(space, 7, 6, 2, 2)
+        subnet = jax.jit(get_active_subnet(net, params, state, sub_cfg))
+        lr_hw = (184, 320)  # 180 rounded up to sublane-friendly 184
+        xf = jnp.asarray(np.random.RandomState(1).rand(1, *lr_hw, 3),
+                         jnp.float32)
+        y = subnet(xf)
+        _ = float(np.asarray(jnp.sum(y)))
+        frame_ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                y = subnet(xf)
+            _ = float(np.asarray(jnp.sum(y)))
+            frame_ms.append((time.perf_counter() - t0) / 8 * 1000)
+        e_best = min(frame_ms)
+        from ofa_sr_tpu.search.flops import s4_subnet_flops
+        e_macs = s4_subnet_flops(sub_cfg, space,
+                                 hr_size=(lr_hw[0] * 4, lr_hw[1] * 4))
+        e_flops = 2 * float(e_macs)
+        eval_detail = {
+            "envelope": "materialized ks7/e6/d2/pd2 subnet, 720p frame "
+                        "(LR 320x184), bs=1",
+            "frame_ms_best": round(e_best, 3),
+            "frames_per_sec": round(1000 / e_best, 2),
+            "vs_bf16_sol": round((e_flops / (e_best / 1000))
+                                 / PEAK_FLOPS["bf16"], 4),
+        }
+    except Exception as e:  # eval bench is auxiliary — never sink the bench
+        eval_detail = {"error": f"{type(e).__name__}: {e}"[:160]}
+
     imgs_per_sec = bs / (best_ms / 1000)
     # masked execution pays max kernel/expand inside each *executed* block;
     # elastic depth compiles to lax.switch, so gated-out blocks truly skip.

@@ -50,26 +50,29 @@ def s4_subnet_params(cfg: SubnetConfig, space: SearchSpace, conv_ks=5):
 def s4_subnet_flops(cfg: SubnetConfig, space: SearchSpace, hr_size=96,
                     conv_ks=5):
     """MACs of one forward of a materialized S4 subnet at the given HR
-    output size (input = hr / 2^pixel_d)."""
+    output size (input = hr / 2^pixel_d). `hr_size` may be an int (square)
+    or an (H, W) tuple."""
     w = space.width
-    lr = hr_size // (2 ** cfg.pixel_d)
-    f = _conv_macs(lr, lr, 3, w, conv_ks)
+    hr_h, hr_w = (hr_size, hr_size) if isinstance(hr_size, int) else hr_size
+    lh, lw = hr_h // (2 ** cfg.pixel_d), hr_w // (2 ** cfg.pixel_d)
+    f = _conv_macs(lh, lw, 3, w, conv_ks)
     bi = 0
     for si in range(space.n_stages):
         for i in range(space.max_depth):
             if i < cfg.d[si]:
                 mid = space.mid_channels(cfg.e[bi])
                 k = cfg.ks[bi]
-                f += _conv_macs(lr, lr, w, mid, 1)
-                f += _conv_macs(lr, lr, mid, mid, k, groups=mid)
-                f += _conv_macs(lr, lr, mid, w, 1)
+                f += _conv_macs(lh, lw, w, mid, 1)
+                f += _conv_macs(lh, lw, mid, mid, k, groups=mid)
+                f += _conv_macs(lh, lw, mid, w, 1)
             bi += 1
-    f += 2 * _conv_macs(lr, lr, w, w, conv_ks)
-    hw = lr
+    f += 2 * _conv_macs(lh, lw, w, w, conv_ks)
+    hh, ww = lh, lw
     for _ in range(cfg.pixel_d):
-        f += _conv_macs(hw, hw, w, 4 * w, conv_ks)
-        hw *= 2
-    f += _conv_macs(hw, hw, w, 3, conv_ks)
+        f += _conv_macs(hh, ww, w, 4 * w, conv_ks)
+        hh *= 2
+        ww *= 2
+    f += _conv_macs(hh, ww, w, 3, conv_ks)
     return f
 
 

@@ -38,7 +38,8 @@ class OFAMobileNetS4:
     IN_CH = 3
 
     def __init__(self, space: Optional[SearchSpace] = None,
-                 bn_momentum=0.1, bn_eps=1e-5, use_transform=True):
+                 bn_momentum=0.1, bn_eps=1e-5, use_transform=True,
+                 icnr=False):
         self.space = space or SearchSpace()
         self.bn_cfg = {"momentum": bn_momentum, "eps": bn_eps}
         self.use_transform = use_transform
@@ -46,6 +47,9 @@ class OFAMobileNetS4:
         # conv 64->256 before each PixelShuffle(2) (ofa_mbs4.py:37: width 256
         # = 4x trunk width so the shuffle lands back on the trunk width)
         self.shuffle_width = 4 * self.space.width
+        # checkerboard-free sub-pixel init for the shuffle head
+        # (ops/conv.icnr_conv_init); off by default = reference he_fout
+        self.icnr = icnr
 
     # -- init ---------------------------------------------------------------
 
@@ -76,7 +80,13 @@ class OFAMobileNetS4:
 
         shuf_p, shuf_s = [], []
         for _ in range(n_shuffle):
-            lp, ls = conv_layer_init(keys[next(ki)], sp.width, self.shuffle_width, self.CONV_KS, dtype)
+            k_sh = keys[next(ki)]
+            lp, ls = conv_layer_init(k_sh, sp.width, self.shuffle_width, self.CONV_KS, dtype)
+            if self.icnr:
+                from ..ops.conv import icnr_conv_init
+                lp["conv"]["w"] = icnr_conv_init(
+                    k_sh, self.CONV_KS, sp.width, self.shuffle_width, r=2,
+                    dtype=dtype)
             shuf_p.append(lp)
             shuf_s.append(ls)
         p["shuffle_blocks"], s["shuffle_blocks"] = shuf_p, shuf_s

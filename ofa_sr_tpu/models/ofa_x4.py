@@ -42,7 +42,8 @@ class OFAMobileNetX4:
     IN_CH = 3
 
     def __init__(self, space: Optional[SearchSpace] = None,
-                 bn_momentum=0.1, bn_eps=1e-5, use_transform=True):
+                 bn_momentum=0.1, bn_eps=1e-5, use_transform=True,
+                 icnr=False):
         self.space = space or SearchSpace()
         self.bn_cfg = {"momentum": bn_momentum, "eps": bn_eps}
         self.use_transform = use_transform
@@ -52,6 +53,9 @@ class OFAMobileNetX4:
         # (ofa_mbx4.py:36: widths 256 and 16 for trunk width 64)
         self.shuffle_width = 4 * self.space.width
         self.unshuffle_width = self.space.width // 4
+        # checkerboard-free sub-pixel init for the decoder shuffle head
+        # (ops/conv.icnr_conv_init); off by default = reference he_fout
+        self.icnr = icnr
 
     # -- init ---------------------------------------------------------------
 
@@ -108,7 +112,13 @@ class OFAMobileNetX4:
 
         shuf_p, shuf_s = [], []
         for _ in range(n_pix):
-            lp, ls = conv_layer_init(keys[next(ki)], w, self.shuffle_width, self.CONV_KS, dtype)
+            k_sh = keys[next(ki)]
+            lp, ls = conv_layer_init(k_sh, w, self.shuffle_width, self.CONV_KS, dtype)
+            if self.icnr:
+                from ..ops.conv import icnr_conv_init
+                lp["conv"]["w"] = icnr_conv_init(
+                    k_sh, self.CONV_KS, w, self.shuffle_width, r=2,
+                    dtype=dtype)
             shuf_p.append(lp)
             shuf_s.append(ls)
         p["shuffle_blocks"], s["shuffle_blocks"] = shuf_p, shuf_s

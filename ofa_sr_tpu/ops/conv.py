@@ -45,6 +45,19 @@ def depthwise_conv_init(key, kernel_size, channels, dtype=jnp.float32, mode="he_
     return std * jax.random.normal(key, (kernel_size, kernel_size, 1, channels), dtype)
 
 
+def icnr_conv_init(key, kernel_size, in_ch, out_ch, r=2, dtype=jnp.float32,
+                   mode="he_fout"):
+    """ICNR init for a sub-pixel (conv -> PixelShuffle(r)) head
+    (arXiv:1707.02937): initialize out_ch/r^2 distinct filters and replicate
+    each r^2 times along the output axis, so at init the shuffled output is
+    a nearest-neighbor upsample — no checkerboard artifact. Replication
+    order matches pixel_shuffle's row-major (c, y, x) channel decomposition
+    (ops/pixelshuffle.py)."""
+    assert out_ch % (r * r) == 0
+    w = conv_init(key, kernel_size, in_ch, out_ch // (r * r), dtype, mode)
+    return jnp.repeat(w, r * r, axis=-1)
+
+
 def conv2d(x, w, stride=1, padding="same"):
     """2D conv, NHWC x HWIO -> NHWC.
 

@@ -176,3 +176,35 @@ def test_zero_last_gamma():
     assert float(np.abs(cp2["blocks"][0]["point_linear"]["bn"]["scale"]).max()) == 1.0
     # later blocks in a stage: zeroed
     assert float(np.abs(cp2["blocks"][1]["point_linear"]["bn"]["scale"]).max()) == 0.0
+
+
+def test_icnr_shuffle_head_init():
+    """icnr=True: at init the (conv -> PixelShuffle) head is checkerboard-
+    free — the shuffled output equals a nearest-neighbor upsample of the
+    r^2-x-narrower conv (arXiv:1707.02937)."""
+    from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
+    from ofa_sr_tpu.ops.conv import conv2d
+    from ofa_sr_tpu.ops.pixelshuffle import pixel_shuffle
+
+    space = SearchSpace(ks_list=[3], expand_list=[3], depth_list=[1],
+                        pixel_d_list=[1], n_stages=1, width=8)
+    for cls in (OFAMobileNetS4, OFAMobileNetX4):
+        net = cls(space, icnr=True)
+        p, _ = net.init(jax.random.PRNGKey(0))
+        w = p["shuffle_blocks"][0]["conv"]["w"]
+        # the 4 sub-pixel filters of each output channel are identical
+        w4 = np.asarray(w).reshape(w.shape[0], w.shape[1], w.shape[2], -1, 4)
+        for j in range(1, 4):
+            np.testing.assert_array_equal(w4[..., j], w4[..., 0])
+        # shuffled conv output == nearest-neighbor upsample of the small conv
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 6, 6, w.shape[2]),
+                        jnp.float32)
+        y = pixel_shuffle(conv2d(x, w), 2)
+        y_small = np.asarray(conv2d(x, jnp.asarray(w4[..., 0])))
+        nn_up = np.repeat(np.repeat(y_small, 2, axis=1), 2, axis=2)
+        np.testing.assert_allclose(np.asarray(y), nn_up, rtol=1e-6, atol=1e-7)
+        # default stays reference he_fout (distinct sub-pixel filters)
+        p2, _ = cls(space).init(jax.random.PRNGKey(0))
+        w2 = np.asarray(p2["shuffle_blocks"][0]["conv"]["w"])
+        assert np.abs(w2.reshape(w4.shape)[..., 1]
+                      - w2.reshape(w4.shape)[..., 0]).max() > 0

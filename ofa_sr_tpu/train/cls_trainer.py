@@ -48,7 +48,7 @@ class ClsTrainer:
     def __init__(self, net, *, opt_type="sgd", weight_decay=3e-5,
                  momentum=0.9, nesterov=True, label_smoothing=0.1,
                  kd_ratio=0.0, kd_type="ce", teacher_net=None,
-                 bn_frozen=False):
+                 bn_frozen=False, compute_dtype=None, remat=True):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -59,6 +59,11 @@ class ClsTrainer:
         self.kd_type = kd_type
         self.teacher_net = teacher_net
         self.bn_frozen = bn_frozen
+        # mixed precision: conv/linear banks + activations in compute_dtype
+        # (e.g. bf16); BN params/stats, transform matrices, loss, master
+        # params stay f32 (train_step.cast_params_for_compute)
+        self.compute_dtype = compute_dtype
+        self.remat = remat
         self._tx = None
 
     def tx(self, params):
@@ -74,9 +79,16 @@ class ClsTrainer:
         return self.tx(params).init(params)
 
     def _subnet_loss(self, params, state, batch, arch, soft_label, rng):
+        image = batch["image"]
+        if self.compute_dtype is not None:
+            from .train_step import cast_params_for_compute
+            params = cast_params_for_compute(params, self.compute_dtype)
+            image = image.astype(self.compute_dtype)
         logits, new_state = self.net.apply(
-            params, state, batch["image"], arch, training=True,
-            bn_training=not self.bn_frozen, dropout_rng=rng, remat=True)
+            params, state, image, arch, training=True,
+            bn_training=not self.bn_frozen, dropout_rng=rng,
+            remat=self.remat)
+        logits = logits.astype(jnp.float32)
         ce = cross_entropy(logits, batch["label"], self.label_smoothing)
         if self.kd_ratio > 0 and soft_label is not None:
             if self.kd_type == "ce":

@@ -161,3 +161,27 @@ def test_cls_kd_teacher_path(tmp_path):
                        teacher=(teacher, tp, ts, teacher.max_arch()))
     best = rm.train()
     assert np.isfinite(best)
+
+
+def test_cls_trainer_bf16_close_to_f32():
+    """Mixed-precision cls step: runs, master params stay f32, loss within
+    tolerance of the f32 step."""
+    net = _tiny_net()
+    p, s = net.init(jax.random.PRNGKey(5))
+    rng = np.random.RandomState(3)
+    batch = {"image": jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32)),
+             "label": jnp.asarray(rng.randint(0, 10, 8))}
+    arch = net.arch_to_device(net.sample_arch(seed=1))
+    key = jax.random.PRNGKey(0)
+    losses = {}
+    for cd in (None, jnp.bfloat16):
+        tr = ClsTrainer(net, opt_type="sgd", weight_decay=0.0,
+                        label_smoothing=0.0, compute_dtype=cd)
+        opt = tr.init_opt_state(p)
+        step = tr.make_train_step(n_subnets=1)
+        p1, _, _, m = step(p, s, opt, batch, (arch,), jnp.asarray(0.1), key)
+        losses[cd] = float(m["loss"])
+        for leaf in jax.tree.leaves(p1):
+            assert leaf.dtype == jnp.float32
+    assert abs(losses[None] - losses[jnp.bfloat16]) < 0.05 * max(
+        1.0, abs(losses[None]))

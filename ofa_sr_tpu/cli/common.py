@@ -40,7 +40,26 @@ def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
     parser.add_argument("--kd_ratio", type=float, default=0.0)
     parser.add_argument("--dynamic_batch_size", type=int,
                         default=dynamic_batch_size)
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["f32", "bf16"],
+                        help="bf16: mixed precision (f32 master params, BN "
+                             "stats, transform matrices)")
+    parser.add_argument("--remat", type=str, default="auto",
+                        choices=["auto", "off", "alt", "pair", "all"],
+                        help="activation rematerialization: auto (on while "
+                             "training), off, alternating blocks, the "
+                             "expand+depthwise pair, or every block")
     return parser
+
+
+_REMAT_MAP = {"auto": None, "off": False, "alt": True, "pair": "pair",
+              "all": "all"}
+
+
+def perf_config_kw(args):
+    # RunConfig kwargs for the precision/remat CLI flags
+    return {"compute_dtype": args.compute_dtype,
+            "remat": _REMAT_MAP[args.remat]}
 
 
 def set_seeds(seed: int):

@@ -17,7 +17,7 @@ from ..data import CodecDecoderProvider, OracleVideoProvider
 from ..models import OFAMobileNetX4, SearchSpace, sample_subnet
 from ..models.arch import uniform_subnet
 from ..train import RunConfig, SRRunManager
-from .common import add_common_args, make_sr_provider, set_seeds
+from .common import add_common_args, make_sr_provider, set_seeds, perf_config_kw
 
 
 def build_args(argv=None):
@@ -58,6 +58,7 @@ def main(argv=None):
                                   args.pixel_d, n_trunks=2)
 
     cfg = RunConfig(
+        **perf_config_kw(args),
         n_epochs=args.n_epochs, base_lr=args.base_lr,
         opt_type=args.opt_type, weight_decay=args.weight_decay,
         train_batch_size=args.base_batch_size, dynamic_batch_size=1,

@@ -17,7 +17,7 @@ from ..data import Div2KSetXXProvider
 from ..models import OFAMobileNetX4, SearchSpace
 from ..train import RunConfig, SRRunManager
 from ..train.shrink import supporting_elastic
-from .common import add_common_args, make_sr_provider, set_seeds
+from .common import add_common_args, make_sr_provider, set_seeds, perf_config_kw
 
 # the reference phase table (train_ofa_net_sr_simple.py:28-93)
 TASK_PHASES = {
@@ -86,6 +86,7 @@ def main(argv=None):
                          use_transform=args.dy_conv_scaling_mode == 1)
     provider = make_sr_provider(args, Div2KSetXXProvider)
     cfg = RunConfig(
+        **perf_config_kw(args),
         n_epochs=args.n_epochs, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
         opt_type=args.opt_type, weight_decay=args.weight_decay,

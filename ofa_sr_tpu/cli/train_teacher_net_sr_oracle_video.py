@@ -16,7 +16,7 @@ from ..data import OracleVideoProvider
 from ..models import OFAMobileNetS4, SearchSpace
 from ..models.arch import max_subnet
 from ..train import RunConfig, SRRunManager
-from .common import add_common_args, make_sr_provider, set_seeds
+from .common import add_common_args, make_sr_provider, set_seeds, perf_config_kw
 
 
 def build_args(argv=None):
@@ -39,6 +39,7 @@ def main(argv=None):
     net = OFAMobileNetS4(space, use_transform=args.dy_conv_scaling_mode == 1)
     provider = make_sr_provider(args, OracleVideoProvider)
     cfg = RunConfig(
+        **perf_config_kw(args),
         n_epochs=args.n_epochs, base_lr=args.base_lr,
         opt_type=args.opt_type, weight_decay=args.weight_decay,
         train_batch_size=args.base_batch_size,

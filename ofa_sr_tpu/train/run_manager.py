@@ -86,10 +86,25 @@ class RunConfig:
     # runtime_depth indexing quirks, arch.reference_quirk_arch_*) rather
     # than the intended semantics — for exact training-trajectory parity
     reference_quirks: bool = False
+    # mixed precision: 'bf16' casts conv/linear banks + activations (BN
+    # stats, transform matrices, master params, loss stay f32). None = f32.
+    compute_dtype: Optional[str] = None
+    # activation rematerialization: None = auto (on while training),
+    # False/True (alternating blocks), 'pair' (expand+depthwise pair only),
+    # 'all' (every block; minimum memory)
+    remat: object = None  # None | bool | 'pair' | 'all'
 
     @property
     def config(self):
         return dataclasses.asdict(self)
+
+
+def _compute_dtype_of(run_config):
+    if run_config.compute_dtype in (None, "", "f32", "float32"):
+        return None
+    if run_config.compute_dtype in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError("unknown compute_dtype %r" % run_config.compute_dtype)
 
 
 def _bucket_pad(batch, pixel_d, bucket, mode="sr"):
@@ -151,13 +166,17 @@ class SRRunManager:
                 weight_decay=run_config.weight_decay,
                 momentum=run_config.momentum, nesterov=run_config.nesterov,
                 kd_ratio=run_config.kd_ratio, mode=run_config.mode,
-                bn_frozen=run_config.bn_frozen, teacher_net=t_net)
+                bn_frozen=run_config.bn_frozen, teacher_net=t_net,
+                compute_dtype=_compute_dtype_of(run_config),
+                remat=run_config.remat)
         else:
             self.trainer = SRTrainer(
                 net, opt_type=run_config.opt_type,
                 weight_decay=run_config.weight_decay,
                 momentum=run_config.momentum, nesterov=run_config.nesterov,
-                mode=run_config.mode, bn_frozen=run_config.bn_frozen)
+                mode=run_config.mode, bn_frozen=run_config.bn_frozen,
+                compute_dtype=_compute_dtype_of(run_config),
+                remat=run_config.remat)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)

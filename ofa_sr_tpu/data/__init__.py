@@ -1,7 +1,9 @@
 from .transforms import (
     CenterCrop,
     Compose,
+    EntropyCrop,
     ModCrop,
+    NineRandomCrop,
     RandomCrop,
     RandomHorizontalFlip,
     RandomRotation,
@@ -19,8 +21,8 @@ from .providers import (
 )
 
 __all__ = [
-    "CenterCrop", "Compose", "ModCrop", "RandomCrop",
-    "RandomHorizontalFlip", "RandomRotation", "Scale",
+    "CenterCrop", "Compose", "EntropyCrop", "ModCrop", "NineRandomCrop",
+    "RandomCrop", "RandomHorizontalFlip", "RandomRotation", "Scale",
     "bicubic_downscale_pil", "to_numpy",
     "PairedImageDataset", "SRImageDataset", "SyntheticSRDataset",
     "CodecDecoderProvider", "DataProvider", "Div2KSetXXProvider",

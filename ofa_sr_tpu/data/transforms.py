@@ -33,7 +33,7 @@ class Compose:
 
 def _wants_rng(t):
     return isinstance(t, (RandomCrop, RandomHorizontalFlip, RandomRotation,
-                          NineRandomCrop))
+                          NineRandomCrop))  # EntropyCrop is a NineRandomCrop
 
 
 class RandomCrop:
@@ -100,19 +100,35 @@ class ModCrop:
 
 
 class NineRandomCrop:
-    """Nine random crops concatenated side by side (reference
-    oracle_video.py:354-408 — unused by live configs, kept for parity)."""
+    """One size x size crop at a randomly chosen one of nine anchors —
+    4 corners, 4 edge midpoints, center (reference oracle_video.py:354-408;
+    unused by live configs, kept for parity).
 
-    def __init__(self, size: int, n: int = 9):
+    The reference's selector is `random.randint(1, 3)` so only the top row
+    of the 3x3 anchor grid is ever chosen — an evident typo against its own
+    "4 Corner, 4 SideLine, 1 Center" docstring. `full_grid=False` reproduces
+    that behavior exactly; the default samples all nine anchors.
+    """
+
+    def __init__(self, size: int, full_grid: bool = True):
         self.size = int(size)
-        self.n = n
+        self.full_grid = full_grid
 
     def __call__(self, img: Image.Image, rng: random.Random):
-        crops = [RandomCrop(self.size)(img, rng) for _ in range(self.n)]
-        out = Image.new("RGB", (self.size * self.n, self.size))
-        for k, c in enumerate(crops):
-            out.paste(c, (k * self.size, 0))
-        return out
+        w, h = img.size
+        size = self.size
+        rows = (0, int((h - size) / 2), h - size)
+        cols = (0, int((w - size) / 2), w - size)
+        select = rng.randint(1, 9 if self.full_grid else 3)
+        i = rows[(select - 1) // 3]
+        j = cols[(select - 1) % 3]
+        return img.crop((j, i, j + size, i + size))
+
+
+class EntropyCrop(NineRandomCrop):
+    """Alias of NineRandomCrop: the reference's EntropyCrop
+    (oracle_video.py:407-458) is a verbatim copy of NineRandomCrop with no
+    entropy logic — kept under its reference name for API parity."""
 
 
 class Scale:

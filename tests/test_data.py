@@ -156,3 +156,44 @@ def test_list_images_numeric_sort(tmp_path):
         Image.new("RGB", (4, 4)).save(d / name)
     paths = list_images(str(d), numeric_sort=True)
     assert [os.path.basename(x) for x in paths] == ["1.png", "2.png", "10.png"]
+
+
+def test_nine_random_crop_anchors():
+    """NineRandomCrop picks one size x size crop at a 3x3 anchor grid
+    position (reference oracle_video.py:354-408: select 1..9 row-major over
+    rows {0, (h-s)//2, h-s} x cols {0, (w-s)//2, w-s}); full_grid=False
+    reproduces the reference's randint(1, 3) top-row-only quirk.
+    EntropyCrop (ref :407-458) is a verbatim duplicate."""
+    import random as pyrandom
+
+    from ofa_sr_tpu.data import EntropyCrop, NineRandomCrop
+
+    w, h, s = 31, 23, 8
+    base = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3) % 255
+    img = Image.fromarray(base)
+
+    class FixedRng:
+        def __init__(self, v):
+            self.v = v
+
+        def randint(self, a, b):
+            assert a <= self.v <= b
+            return self.v
+
+    rows = (0, int((h - s) / 2), h - s)
+    cols = (0, int((w - s) / 2), w - s)
+    for select in range(1, 10):
+        out = NineRandomCrop(s)(img, FixedRng(select))
+        i, j = rows[(select - 1) // 3], cols[(select - 1) % 3]
+        expect = base[i:i + s, j:j + s]
+        assert out.size == (s, s)
+        assert np.array_equal(np.asarray(out), expect), select
+        assert np.array_equal(np.asarray(EntropyCrop(s)(img, FixedRng(select))),
+                              expect)
+
+    # reference-quirk mode only ever selects the top row
+    quirk = NineRandomCrop(s, full_grid=False)
+    rng = pyrandom.Random(0)
+    for _ in range(20):
+        out = np.asarray(quirk(img, rng))
+        assert any(np.array_equal(out, base[0:s, c:c + s]) for c in cols)

@@ -2,6 +2,10 @@
 
 #include <zlib.h>
 
+#include <cstdio>
+#include <csetjmp>
+#include <jpeglib.h>
+
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
@@ -167,6 +171,64 @@ bool decode_ppm(const uint8_t* buf, size_t len, Image* out) {
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// JPEG (libjpeg) — the ImageNet provider's format (imagenet.py loads JPEG
+// class folders); PNG/PPM cover the SR datasets.
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_error_exit(j_common_ptr ci) {
+  // libjpeg's default error handler exit()s the process; longjmp back to
+  // the decoder so corrupt files just return false
+  JpegErr* e = reinterpret_cast<JpegErr*>(ci->err);
+  longjmp(e->jb, 1);
+}
+
+static void jpeg_emit_nothing(j_common_ptr, int) {}
+
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  if (len < 3 || buf[0] != 0xFF || buf[1] != 0xD8) return false;
+  jpeg_decompress_struct ci;
+  JpegErr err;
+  ci.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_error_exit;
+  err.mgr.emit_message = jpeg_emit_nothing;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&ci);
+    return false;
+  }
+  jpeg_create_decompress(&ci);
+  jpeg_mem_src(&ci, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&ci, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&ci);
+    return false;
+  }
+  // RGB out (libjpeg converts YCbCr and expands grayscale); CMYK/YCCK
+  // sources fail jpeg_start_decompress and land in the setjmp handler
+  ci.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&ci);
+  if (ci.output_components != 3) {
+    jpeg_destroy_decompress(&ci);
+    return false;
+  }
+  out->h = static_cast<int>(ci.output_height);
+  out->w = static_cast<int>(ci.output_width);
+  out->c = 3;
+  out->data.resize(size_t(out->h) * out->w * 3);
+  while (ci.output_scanline < ci.output_height) {
+    JSAMPROW row = out->data.data() + size_t(ci.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&ci, &row, 1);
+  }
+  jpeg_finish_decompress(&ci);
+  jpeg_destroy_decompress(&ci);
+  return true;
+}
+
 bool load_image(const char* path, Image* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -178,6 +240,7 @@ bool load_image(const char* path, Image* out) {
   std::fclose(f);
   if (rd != buf.size()) return false;
   if (decode_png(buf.data(), buf.size(), out)) return true;
+  if (decode_jpeg(buf.data(), buf.size(), out)) return true;
   return decode_ppm(buf.data(), buf.size(), out);
 }
 

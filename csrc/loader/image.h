@@ -1,6 +1,6 @@
 // Native image pipeline for ofa_sr_tpu (the TPU-host analogue of the
 // reference's C-backed DataLoader fork, my_data_loader.py:12-13).
-// PNG decode (zlib), PIL-compatible bicubic resize, crops.
+// PNG (zlib) + JPEG (libjpeg) decode, PIL-compatible bicubic resize, crops.
 #pragma once
 
 #include <cstddef>
@@ -20,6 +20,11 @@ bool decode_png(const uint8_t* buf, size_t len, Image* out);
 
 // Decode a binary PPM (P6).
 bool decode_ppm(const uint8_t* buf, size_t len, Image* out);
+
+// Decode a baseline/progressive JPEG (libjpeg) into RGB; grayscale sources
+// are expanded, CMYK is rejected. Returns false on unsupported or corrupt
+// input.
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out);
 
 // Load + decode by file extension. Returns false on failure.
 bool load_image(const char* path, Image* out);

@@ -75,3 +75,28 @@ def test_native_loader_batches(tmp_path):
     ld.set_epoch(1)
     other = list(ld)
     assert not np.array_equal(batches[0]["image"], other[0]["image"])
+
+
+def test_jpeg_decode_matches_pil(tmp_path):
+    """Native libjpeg decode == PIL's decode (same settings, both libjpeg):
+    RGB + grayscale sources; corrupt data fails cleanly instead of exiting
+    the process (libjpeg's default error handler calls exit())."""
+    rng = np.random.RandomState(0)
+    base = (np.cumsum(np.cumsum(rng.rand(41, 53, 3), 0), 1) * 3 % 255
+            ).astype(np.uint8)
+    p = tmp_path / "a.jpg"
+    Image.fromarray(base).save(p, quality=92)
+    ours = (decode_image(str(p)) * 255).round().astype(np.uint8)
+    pil = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(ours, pil)
+
+    g = tmp_path / "g.jpg"
+    Image.fromarray(base[:, :, 0], mode="L").save(g, quality=92)
+    np.testing.assert_array_equal(
+        (decode_image(str(g)) * 255).round().astype(np.uint8),
+        np.asarray(Image.open(g).convert("RGB")))
+
+    c = tmp_path / "c.jpg"
+    c.write_bytes(b"\xff\xd8\xff" + b"junk" * 10)
+    with pytest.raises(IOError):
+        decode_image(str(c))

@@ -40,6 +40,14 @@ def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
     parser.add_argument("--kd_ratio", type=float, default=0.0)
     parser.add_argument("--dynamic_batch_size", type=int,
                         default=dynamic_batch_size)
+    add_perf_args(parser)
+    return parser
+
+
+def add_perf_args(parser: argparse.ArgumentParser):
+    """Precision/remat flags shared by all training CLIs (the classification
+    models implement remat as all-or-nothing, so alt/pair/all are
+    equivalent there)."""
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["f32", "bf16"],
                         help="bf16: mixed precision (f32 master params, BN "

@@ -20,7 +20,7 @@ from ..data.providers import ElasticResolution
 from ..models.ofa_cls import OFAMobileNetV3
 from ..train.cls_run_manager import ClsRunManager
 from ..train.run_manager import RunConfig
-from .common import set_seeds
+from .common import add_perf_args, perf_config_kw, set_seeds
 
 # reference task table (train_ofa_net.py:33-106)
 TASK_PHASES = {
@@ -62,6 +62,7 @@ def build_args(argv=None):
     p.add_argument("--manual_seed", type=int, default=0)
     p.add_argument("--warmstart", type=str, default=None)
     p.add_argument("--n_epochs", type=int, default=None)
+    add_perf_args(p)
     return p.parse_args(argv)
 
 
@@ -105,6 +106,7 @@ def main(argv=None):
 
     n_epochs = args.n_epochs if args.n_epochs is not None else preset["n_epochs"]
     cfg = RunConfig(
+        **perf_config_kw(args),
         n_epochs=n_epochs, base_lr=base_lr,
         warmup_epochs=preset["warmup_epochs"], opt_type="sgd",
         weight_decay=3e-5, train_batch_size=global_bs,

@@ -19,7 +19,7 @@ from ..data.cls_providers import Cifar10Provider, SyntheticClsProvider
 from ..models.ofa_cls import OFAMobileNetV3
 from ..train.cls_run_manager import ClsRunManager
 from ..train.run_manager import RunConfig
-from .common import set_seeds
+from .common import add_perf_args, perf_config_kw, set_seeds
 
 
 def build_args(argv=None):
@@ -37,6 +37,7 @@ def build_args(argv=None):
     p.add_argument("--teacher_ckpt", type=str, default=None)
     p.add_argument("--warmstart", type=str, default=None)
     p.add_argument("--manual_seed", type=int, default=0)
+    add_perf_args(p)
     return p.parse_args(argv)
 
 
@@ -67,7 +68,8 @@ def main(argv=None):
     else:
         kd_ratio = 0.0
 
-    cfg = RunConfig(n_epochs=args.n_epochs, base_lr=args.base_lr,
+    cfg = RunConfig(**perf_config_kw(args),
+                    n_epochs=args.n_epochs, base_lr=args.base_lr,
                     warmup_epochs=args.warmup_epochs, opt_type="sgd",
                     weight_decay=3e-5,
                     train_batch_size=args.base_batch_size,

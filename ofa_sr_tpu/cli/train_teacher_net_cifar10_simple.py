@@ -18,7 +18,7 @@ from ..data.cls_providers import Cifar10Provider, SyntheticClsProvider
 from ..models.ofa_cls import OFAMobileNetV3
 from ..train.cls_run_manager import ClsRunManager
 from ..train.run_manager import RunConfig
-from .common import set_seeds
+from .common import add_perf_args, perf_config_kw, set_seeds
 
 
 def build_args(argv=None):
@@ -36,6 +36,7 @@ def build_args(argv=None):
     p.add_argument("--ks", type=int, default=7)
     p.add_argument("--expand", type=int, default=6)
     p.add_argument("--depth", type=int, default=4)
+    add_perf_args(p)
     return p.parse_args(argv)
 
 
@@ -53,7 +54,8 @@ def main(argv=None):
         provider = Cifar10Provider(root=args.data_root,
                                    image_size=args.image_size,
                                    train_batch_size=args.base_batch_size)
-    cfg = RunConfig(n_epochs=args.n_epochs, base_lr=args.base_lr,
+    cfg = RunConfig(**perf_config_kw(args),
+                    n_epochs=args.n_epochs, base_lr=args.base_lr,
                     warmup_epochs=args.warmup_epochs, opt_type="sgd",
                     weight_decay=3e-5,
                     train_batch_size=args.base_batch_size,

@@ -25,7 +25,7 @@ from .touched import cls_touched_mask
 from .bn_recalib import bn_recalibrate
 from .checkpoint import load_checkpoint, save_checkpoint
 from .cls_trainer import ClsTrainer
-from .run_manager import RunConfig
+from .run_manager import RunConfig, _compute_dtype_of
 from .schedules import lr_at_step
 
 
@@ -64,7 +64,12 @@ class ClsRunManager:
             momentum=run_config.momentum, nesterov=run_config.nesterov,
             label_smoothing=label_smoothing, kd_ratio=run_config.kd_ratio,
             kd_type=run_config.kd_type or "ce", teacher_net=t_net,
-            bn_frozen=run_config.bn_frozen)
+            bn_frozen=run_config.bn_frozen,
+            compute_dtype=_compute_dtype_of(run_config),
+            # cls block remat is all-or-nothing: None (auto) keeps the
+            # trainer default (on); 'alt'/'pair'/'all' all mean on
+            remat=(True if run_config.remat is None
+                   else bool(run_config.remat)))
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, **teacher_kw)

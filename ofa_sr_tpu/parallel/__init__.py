@@ -1,5 +1,6 @@
 from .mesh import (
     batch_sharding,
+    init_distributed,
     make_mesh,
     replicated_sharding,
     shard_batch,
@@ -8,6 +9,7 @@ from .mesh import (
 from .spatial import make_spatial_infer, pad_rows
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

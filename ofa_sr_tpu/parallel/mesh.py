@@ -65,13 +65,27 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, axis_name="data"):
-    """Place a host batch (pytree of arrays, leading dim = global batch)
-    sharded over the mesh."""
+    """Place a host batch (pytree of arrays) sharded over the mesh's batch
+    axis. Single-process: the arrays carry the global batch. Multi-process
+    (after init_distributed the mesh spans all hosts): each process passes
+    its *local* rows and the global batch is their concatenation in process
+    order — the hvd/DistributedSampler contract (each rank loads its own
+    shard, SURVEY.md §2.8)."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def shard_params(params, mesh):
-    """Replicate parameters/optimizer state across the mesh."""
+    """Replicate parameters/optimizer state across the mesh. Multi-process:
+    every host must pass the same values (same-seed init or a restored
+    checkpoint — the hvd.broadcast_parameters replacement)."""
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            params)
     return jax.tree.map(lambda x: jax.device_put(x, sh), params)

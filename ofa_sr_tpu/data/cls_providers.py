@@ -81,8 +81,16 @@ class ImageFolderDataset:
 
     def __init__(self, root, image_size=224, train=True,
                  elastic: Optional[ElasticResolution] = None,
-                 resize_scale=0.08):
+                 resize_scale=0.08, use_native=False):
         self.root = root
+        # native C++ decode (PNG/JPEG) + float bicubic instead of PIL; the
+        # rng consumption (crop/flip sampling) is shared, so the sample
+        # geometry is identical — only the resample backend differs (PIL
+        # resizes in uint8 fixed point, the native path in float32)
+        self.use_native = use_native
+        if use_native:
+            from .native import native_available
+            self.use_native = native_available()
         classes = sorted(d for d in os.listdir(root)
                          if os.path.isdir(os.path.join(root, d)))
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
@@ -101,24 +109,62 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
+    @staticmethod
+    def _rrc_params(rng, w, h, resize_scale):
+        """RandomResizedCrop(scale=(resize_scale, 1.0), ratio 3/4..4/3)
+        box sampling — shared by the PIL and native backends so both
+        consume the rng identically. Returns (j, i, cw, ch) or None."""
+        area = w * h
+        for _ in range(10):
+            t_area = rng.uniform(resize_scale, 1.0) * area
+            ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round((t_area * ar) ** 0.5))
+            ch = int(round((t_area / ar) ** 0.5))
+            if cw <= w and ch <= h:
+                j, i = rng.randint(0, w - cw), rng.randint(0, h - ch)
+                return j, i, cw, ch
+        return None
+
+    def _getitem_native(self, index, rng, size):
+        from .native import decode_image, resize_bicubic
+        path, label = self.samples[index]
+        arr = decode_image(path)  # float32 HWC [0,1]
+        h, w = arr.shape[:2]
+        if self.train and rng is not None:
+            box = self._rrc_params(rng, w, h, self.resize_scale)
+            if box is not None:
+                j, i, cw, ch = box
+                arr = arr[i:i + ch, j:j + cw]
+            arr = resize_bicubic(arr, size, size)
+            if rng.random() < 0.5:
+                arr = arr[:, ::-1]
+        else:
+            short = int(np.ceil(size / 0.875))
+            if w < h:
+                arr = resize_bicubic(arr, int(h * short / w), short)
+            else:
+                arr = resize_bicubic(arr, short, int(w * short / h))
+            hh, ww = arr.shape[:2]
+            j, i = (ww - size) // 2, (hh - size) // 2
+            arr = arr[i:i + size, j:j + size]
+        arr = (np.clip(arr, 0.0, 1.0) - _IMAGENET_MEAN) / _IMAGENET_STD
+        return {"image": np.ascontiguousarray(arr, np.float32),
+                "label": np.int64(label)}
+
     def __getitem__(self, index, rng: Optional[random.Random] = None,
                     size: Optional[int] = None):
+        size = size if size is not None else self.active_size
+        if self.use_native:
+            return self._getitem_native(index, rng, size)
         path, label = self.samples[index]
         img = Image.open(path).convert("RGB")
-        size = size if size is not None else self.active_size
         if self.train and rng is not None:
             # RandomResizedCrop(scale=(resize_scale, 1.0)) + flip
             w, h = img.size
-            area = w * h
-            for _ in range(10):
-                t_area = rng.uniform(self.resize_scale, 1.0) * area
-                ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
-                cw = int(round((t_area * ar) ** 0.5))
-                ch = int(round((t_area / ar) ** 0.5))
-                if cw <= w and ch <= h:
-                    j, i = rng.randint(0, w - cw), rng.randint(0, h - ch)
-                    img = img.crop((j, i, j + cw, i + ch))
-                    break
+            box = self._rrc_params(rng, w, h, self.resize_scale)
+            if box is not None:
+                j, i, cw, ch = box
+                img = img.crop((j, i, j + cw, i + ch))
             img = img.resize((size, size), Image.BICUBIC)
             if rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -204,14 +250,15 @@ class ImagenetProvider(_ClsProvider):
     def __init__(self, root=None, image_size=224, train_batch_size=256,
                  test_batch_size=256, valid_size=None, num_replicas=1, rank=0,
                  num_workers=8, elastic: Optional[ElasticResolution] = None,
-                 resize_scale=0.08):
+                 resize_scale=0.08, use_native=False):
         root = root or self.DEFAULT_PATH
         self.image_size = image_size
         self.elastic = elastic
         train_ds = ImageFolderDataset(os.path.join(root, "train"), image_size,
-                                      True, elastic, resize_scale)
+                                      True, elastic, resize_scale,
+                                      use_native=use_native)
         test_ds = ImageFolderDataset(os.path.join(root, "val"), image_size,
-                                     False)
+                                     False, use_native=use_native)
         self._finish(train_ds, test_ds, train_batch_size, test_batch_size,
                      valid_size, num_replicas, rank, num_workers)
         if elastic is not None:

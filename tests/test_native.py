@@ -100,3 +100,33 @@ def test_jpeg_decode_matches_pil(tmp_path):
     c.write_bytes(b"\xff\xd8\xff" + b"junk" * 10)
     with pytest.raises(IOError):
         decode_image(str(c))
+
+
+def test_native_cls_dataset_matches_pil(tmp_path):
+    """ImageFolderDataset(use_native=True): identical crop/flip geometry
+    (shared rng sampling) and close pixels — the backends differ only in
+    resample precision (PIL uint8 fixed point vs native float32)."""
+    import random
+
+    from ofa_sr_tpu.data.cls_providers import ImageFolderDataset
+
+    rng0 = np.random.RandomState(0)
+    for c in ("a", "b"):
+        d = tmp_path / c
+        d.mkdir()
+        for k in range(2):
+            arr = (np.cumsum(rng0.rand(48, 56, 3), 1) * 9 % 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / ("%d.jpg" % k), quality=95)
+
+    for train in (True, False):
+        pil_ds = ImageFolderDataset(str(tmp_path), image_size=24, train=train)
+        nat_ds = ImageFolderDataset(str(tmp_path), image_size=24, train=train,
+                                    use_native=True)
+        assert nat_ds.use_native
+        for idx in range(4):
+            a = pil_ds.__getitem__(idx, rng=random.Random(idx))
+            b = nat_ds.__getitem__(idx, rng=random.Random(idx))
+            assert a["label"] == b["label"]
+            assert a["image"].shape == b["image"].shape == (24, 24, 3)
+            # same geometry, backend resample gap only (normalized units)
+            assert np.abs(a["image"] - b["image"]).mean() < 0.05, (train, idx)

@@ -41,6 +41,10 @@ def build_args(argv=None):
     p.add_argument("--materialize", action="store_true",
                    help="slice + jit the static subnet (deployment path)")
     p.add_argument("--bn_recalib", action="store_true")
+    p.add_argument("--export", type=str, default=None,
+                   help="write an AOT serving artifact (jax.export StableHLO"
+                        " with folded weights, cpu+tpu) for the test-set "
+                        "frame shape, then continue with the evaluation")
     p.add_argument("--frame_log", type=str, default=None,
                    help="JSONL path for per-frame loss/PSNR scalars (the "
                         "reference's tensorboardX per-frame logging toggle, "
@@ -79,6 +83,18 @@ def main(argv=None):
                              args.pixel_d)
     if args.bn_recalib:
         rm.reset_running_statistics(sub_cfg, n_images=64, batch_size=16)
+
+    if args.export:
+        # AOT serving artifact (models/export.py): StableHLO with the
+        # folded weights embedded, cpu+tpu lowerings
+        from ..models.export import export_subnet
+        b = next(iter(provider.test))
+        lr = b["x%d" % (2 ** sub_cfg.pixel_d)]
+        blob = export_subnet(net, rm.params, rm.state, sub_cfg,
+                             (lr.shape[1], lr.shape[2]), path=args.export)
+        rm.write_log("exported %s (%d bytes, input %dx%d)"
+                     % (args.export, len(blob), lr.shape[1], lr.shape[2]),
+                     "valid")
 
     if args.materialize:
         import json

@@ -63,3 +63,30 @@ def test_materialized_is_jittable():
     sub = get_active_subnet(net, p, s, cfg)
     y = jax.jit(sub)(_x(1, 8, 8))
     assert y.shape == (1, 8 * 2 ** cfg.pixel_d, 8 * 2 ** cfg.pixel_d, 3)
+
+
+def test_export_roundtrip_matches_live_subnet(tmp_path):
+    """AOT serving artifact (models/export.py): export -> serialize ->
+    deserialize -> call is bit-identical to the live materialized subnet,
+    and the artifact carries cpu+tpu lowerings."""
+    import jax
+
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    from ofa_sr_tpu.models.export import export_subnet, load_subnet
+
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(0))
+    cfg = uniform_subnet(SMALL, 5, 3, 2, 1)
+    path = str(tmp_path / "subnet.stablehlo")
+    blob = export_subnet(net, p, s, cfg, (24, 32), path=path)
+    assert len(blob) > 1000
+
+    from jax import export as jax_export
+    assert set(jax_export.deserialize(blob).platforms) == {"cpu", "tpu"}
+
+    fn = load_subnet(path)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 24, 32, 3), jnp.float32)
+    y = fn(x)
+    ref = jax.jit(get_active_subnet(net, p, s, cfg))(x)
+    assert y.shape == (1, 48, 64, 3)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))

@@ -50,6 +50,28 @@ def export_subnet(net, params, state, cfg: SubnetConfig, input_hw,
     return blob
 
 
+def export_cls_subnet(net, params, state, arch, image_size: int,
+                      *, batch: int = 1, dtype=jnp.float32,
+                      fold_bn: bool = True,
+                      platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
+                      path: Optional[str] = None) -> bytes:
+    """Classification twin of export_subnet: materialize `arch` (ClsArch)
+    out of an MBV3/Proxyless supernet and AOT-export `fn(image) -> logits`
+    for `(batch, image_size, image_size, 3)` inputs."""
+    from .materialize_cls import get_active_cls_subnet
+
+    subnet = get_active_cls_subnet(net, params, state, arch, fold_bn=fold_bn)
+    fn = jax.jit(lambda x: subnet(x))
+    spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), dtype)
+    exp = jax_export.export(
+        fn, platforms=list(platforms) if platforms else None)(spec)
+    blob = bytes(exp.serialize())
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def load_subnet(blob_or_path):
     """Deserialize an exported subnet into a jit-callable `fn(x) -> sr`."""
     if isinstance(blob_or_path, (str, bytes, bytearray)):

@@ -73,3 +73,23 @@ def test_cls_materialized_elastic_width():
             np.testing.assert_allclose(np.asarray(sub(x)),
                                        np.asarray(y_super),
                                        rtol=3e-4, atol=3e-5)
+
+
+def test_cls_export_roundtrip(tmp_path):
+    """AOT export of a classification subnet: serialized artifact serves
+    logits bit-identical to the live materialized subnet."""
+    from ofa_sr_tpu.models.export import export_cls_subnet, load_subnet
+
+    net = _tiny_net()
+    p, s = net.init(jax.random.PRNGKey(0))
+    arch = net.sample_arch(seed=1)
+    path = str(tmp_path / "cls.stablehlo")
+    blob = export_cls_subnet(net, p, s, arch, image_size=32, batch=2,
+                             path=path)
+    assert len(blob) > 1000
+    fn = load_subnet(path)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
+    y = fn(x)
+    ref = jax.jit(get_active_cls_subnet(net, p, s, arch))(x)
+    assert y.shape == (2, 10)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))

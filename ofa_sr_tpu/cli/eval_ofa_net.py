@@ -39,6 +39,9 @@ def build_args(argv=None):
                    help="slice + jit the static subnet (deployment path, "
                         "get_active_subnet equivalent)")
     p.add_argument("--manual_seed", type=int, default=0)
+    p.add_argument("--export", type=str, default=None,
+                   help="write an AOT serving artifact (jax.export "
+                        "StableHLO, cpu+tpu) of the BN-recalibrated subnet")
     return p.parse_args(argv)
 
 
@@ -66,6 +69,13 @@ def main(argv=None):
             else net.sample_arch(seed=args.arch_seed))
     # the canonical deployment path: BN recalibration before eval
     rm.reset_running_statistics(arch, n_images=min(2000, 64), batch_size=32)
+    if args.export:
+        from ..models.export import export_cls_subnet
+        blob = export_cls_subnet(net, rm.params, rm.state, arch,
+                                 image_size=args.image_size,
+                                 path=args.export)
+        rm.write_log("exported %s (%d bytes, %dpx)"
+                     % (args.export, len(blob), args.image_size), "valid")
     if args.materialize:
         import jax
         import jax.numpy as jnp

@@ -112,6 +112,20 @@ def main():
     from ofa_sr_tpu.models.arch import SubnetConfig
     assert SubnetConfig.from_dict(json.loads(arch_json)) == best
 
+    # -- 7b. AOT serving artifact: weights + program, no model code needed ----
+    import tempfile
+
+    from ofa_sr_tpu.models.export import export_subnet, load_subnet
+
+    art = tempfile.mktemp(suffix=".stablehlo")
+    blob = export_subnet(net, rm.params, rm.state, best,
+                         (xin.shape[1], xin.shape[2]), path=art)
+    served = load_subnet(art)
+    assert jnp.array_equal(served(xin), y)
+    print("\n== AOT export ==")
+    print("  %d-byte StableHLO artifact (cpu+tpu), serves bit-identically"
+          % len(blob))
+
     # -- 8. big frames: overlap-tiled inference (one compile, any size) -------
     from ofa_sr_tpu.train import receptive_field_radius, tiled_sr_infer
 

@@ -7,6 +7,12 @@ faults the device, run each separately (env PALLAS_ONLY=mbconv|tail) so one
 fault doesn't block the other's numbers.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import json
 import os
 import time

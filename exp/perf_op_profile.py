@@ -13,6 +13,12 @@ overhead, which is subtracted. Timing is value-fetch terminated.
 Usage: python exp/perf_op_profile.py   (on the real chip; probe health first)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import json
 import time
 from functools import partial

@@ -10,6 +10,12 @@ Usage: python exp/perf_step_variants.py [variant ...]
             bf16-rematTrue bf16-rematpair bf16-rematFalse   (default: all)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

@@ -48,6 +48,9 @@ def build_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--manual_seed", type=int, default=0)
+    p.add_argument("--export", type=str, default=None,
+                   help="write an AOT serving artifact (jax.export "
+                        "StableHLO, cpu+tpu) of the specialized net")
     return p.parse_args(argv)
 
 
@@ -81,6 +84,14 @@ def main(argv=None):
     else:
         provider = ImagenetProvider(root=args.data_root,
                                     image_size=image_size)
+
+    if args.export:
+        from ..models.export import export_fn
+        blob = export_fn(
+            lambda x: net.apply(params, state, x, training=False)[0],
+            (1, image_size, image_size, 3), path=args.export)
+        print("exported %s (%d bytes, %dpx)"
+              % (args.export, len(blob), image_size))
 
     @jax.jit
     def eval_step(x, labels):

@@ -50,6 +50,22 @@ def export_subnet(net, params, state, cfg: SubnetConfig, input_hw,
     return blob
 
 
+def export_fn(fn, input_shape, *, dtype=jnp.float32,
+              platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
+              path: Optional[str] = None) -> bytes:
+    """Generic exporter: AOT-serialize any jittable `fn(x)` for a fixed
+    input shape (used for nets that are already static, e.g.
+    StaticNetFromConfig specialized nets)."""
+    spec = jax.ShapeDtypeStruct(tuple(input_shape), dtype)
+    exp = jax_export.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None)(spec)
+    blob = bytes(exp.serialize())
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def export_cls_subnet(net, params, state, arch, image_size: int,
                       *, batch: int = 1, dtype=jnp.float32,
                       fold_bn: bool = True,

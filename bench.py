@@ -46,19 +46,27 @@ def dispatch_rtt_ms(jax, jnp, n=10):
     return (time.perf_counter() - t0) / n * 1000
 
 
-def probed_matmul_tflops(jax, jnp, n=8):
-    """Measured bf16 MXU throughput right now (device-health probe): a
-    chained 4096^3 matmul, value-fetch terminated. The relayed chip's
-    effective rate has been observed anywhere from ~3 to ~100+ TF/s."""
+def probed_matmul_tflops(jax, jnp, n=50):
+    """Measured bf16 MXU throughput right now (device-health probe): n
+    chained 4096^3 matmuls inside ONE dispatch (lax.scan), value-fetch
+    terminated. One dispatch matters: per-call chaining measures the
+    relay's dispatch RTT, not the chip — a session once probed 16 TF/s
+    per-call while the same chip did 133 TF/s scan-amortized."""
+    from jax import lax
+
     a = jnp.asarray(np.random.RandomState(0).rand(4096, 4096) * 1e-3,
                     jnp.bfloat16)
-    f = jax.jit(lambda m: (m @ m) * 1e-3)
-    b = f(a)
-    _ = float(np.asarray(jnp.sum(b.astype(jnp.float32))))
+
+    @jax.jit
+    def run(m):
+        def body(c, _):
+            return (c @ c) * 1e-3, None
+        y, _ = lax.scan(body, m, None, length=n)
+        return jnp.sum(y.astype(jnp.float32))
+
+    _ = float(np.asarray(run(a)))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        b = f(b)
-    _ = float(np.asarray(jnp.sum(b.astype(jnp.float32))))
+    _ = float(np.asarray(run(a)))
     dt = (time.perf_counter() - t0) / n
     return 2 * 4096 ** 3 / dt / 1e12
 
@@ -75,7 +83,7 @@ def main():
     # is recorded either way)
     deadline = time.time() + 300
     while True:
-        health = probed_matmul_tflops(jax, jnp, n=4)
+        health = probed_matmul_tflops(jax, jnp, n=20)
         if health > 30 or time.time() > deadline:
             break
         time.sleep(60)
@@ -83,7 +91,9 @@ def main():
     space = SearchSpace()
     net = OFAMobileNetS4(space)
     params, state = net.init(jax.random.PRNGKey(0))
-    trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5)
+    # remat='all' measured 2.2x faster than alternating-block remat on HW
+    # (exp/perf_step_variants.py r2: 38.9 vs 86.8 ms/step f32, same session)
+    trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5, remat="all")
     opt_state = trainer.init_opt_state(params)
 
     bs, hr = 16, 96
@@ -189,7 +199,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / sol_imgs_per_sec, 4),
         "detail": {
             "envelope": "bs16 96px DIV2K supernet step, 1 subnet/step, "
-                        "device-side scan of %d steps/dispatch" % n_inner,
+                        "f32 remat=all, device-side scan of %d "
+                        "steps/dispatch" % n_inner,
             "step_ms_best": round(best_ms, 3),
             "step_ms_median": round(median_ms, 3),
             "window_spread_ms": [round(x, 3) for x in window_ms],

@@ -7,7 +7,8 @@ failures are recorded, not fatal. Probe relay health first
 
 Usage: python exp/perf_step_variants.py [variant ...]
   variants: f32-rematTrue f32-rematpair f32-rematall f32-rematFalse
-            bf16-rematTrue bf16-rematpair bf16-rematFalse   (default: all)
+            bf16-rematTrue bf16-rematpair bf16-rematall bf16-rematFalse
+            (default: all)
 """
 
 import os
@@ -29,6 +30,7 @@ VARIANTS = {
     "f32-rematFalse": (None, False),
     "bf16-rematTrue": ("bf16", True),
     "bf16-rematpair": ("bf16", "pair"),
+    "bf16-rematall": ("bf16", "all"),
     "bf16-rematFalse": ("bf16", False),
 }
 

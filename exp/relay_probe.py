@@ -32,23 +32,34 @@ def main():
         _ = float(np.asarray(jnp.sum(y)))
     rtt_ms = (time.perf_counter() - t0) / n * 1000
 
-    # MXU throughput: chained 4096^3 bf16 matmul
+    # MXU throughput: n chained 4096^3 bf16 matmuls inside ONE dispatch
+    # (lax.scan). Per-call chaining measures the relay's dispatch RTT, not
+    # the chip: a session once probed 16 TF/s per-call while the same chip
+    # did 133 TF/s scan-amortized. Compute health and relay RTT are
+    # independent axes — report both.
+    from jax import lax
+
     a = jnp.asarray(np.random.RandomState(0).rand(4096, 4096) * 1e-3,
                     jnp.bfloat16)
-    g = jax.jit(lambda m: (m @ m) * 1e-3)
-    b = g(a)
-    _ = float(np.asarray(jnp.sum(b.astype(jnp.float32))))
-    reps = 4
+    n = 50
+
+    @jax.jit
+    def run(m):
+        def body(c, _):
+            return (c @ c) * 1e-3, None
+        y, _ = lax.scan(body, m, None, length=n)
+        return jnp.sum(y.astype(jnp.float32))
+
+    _ = float(np.asarray(run(a)))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        b = g(b)
-    _ = float(np.asarray(jnp.sum(b.astype(jnp.float32))))
-    tflops = 2 * 4096 ** 3 * reps / (time.perf_counter() - t0) / 1e12
+    _ = float(np.asarray(run(a)))
+    tflops = 2 * 4096 ** 3 * n / (time.perf_counter() - t0) / 1e12
 
     print(json.dumps({
         "dispatch_rtt_ms": round(rtt_ms, 1),
         "bf16_matmul_tflops": round(tflops, 1),
-        "healthy": bool(tflops > 30 and rtt_ms < 100),
+        "healthy": bool(tflops > 60),
+        "relay_fast": bool(rtt_ms < 10),
     }))
 
 

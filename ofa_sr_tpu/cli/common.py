@@ -54,9 +54,10 @@ def add_perf_args(parser: argparse.ArgumentParser):
                              "stats, transform matrices)")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "off", "alt", "pair", "all"],
-                        help="activation rematerialization: auto (on while "
-                             "training), off, alternating blocks, the "
-                             "expand+depthwise pair, or every block")
+                        help="activation rematerialization: auto (= every "
+                             "block while training, the HW-measured fastest "
+                             "and smallest mode), off, alternating blocks, "
+                             "the expand+depthwise pair, or every block")
     return parser
 
 

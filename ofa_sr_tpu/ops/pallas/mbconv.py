@@ -25,6 +25,13 @@ strip.
 
 Use through models/materialize.py (use_pallas=True); shapes that don't tile
 fall back to the XLA composition (`mbconv_reference`).
+
+r2 HW status (exp/pallas_hw_bench.py, v5e): compiles and runs correctly on
+hardware (no faults — the round-1 manual-DMA problem is gone with the
+pipelined shifted-view formulation), measured 1.15-1.3x slower than the
+XLA composition at the 720p deployment shape. XLA's own fusion already
+keeps this chain in registers well; the kernel stays opt-in
+(OFA_SR_TPU_PALLAS=1).
 """
 
 from __future__ import annotations

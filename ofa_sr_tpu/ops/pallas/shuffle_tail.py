@@ -15,9 +15,17 @@ strip), so Pallas's own pipeline performs every HBM transfer and the kernel
 assembles the 2-row halo from VMEM-resident neighbor blocks.
 
 The conv is 25 shifted (T*W, C_in) @ (C_in, 4*C_in) MXU matmuls accumulated
-in f32; the shuffle is a register-level reshape/transpose of the accumulator
-(channel c*4 + y*2 + x -> sub-pixel (y, x) of channel c, matching
-ops/pixelshuffle.pixel_shuffle / torch.nn.PixelShuffle).
+in f32; the shuffle matches ops/pixelshuffle.pixel_shuffle /
+torch.nn.PixelShuffle via a weight-channel permutation (see _kernel).
+
+r2 HW status (exp/pallas_hw_bench.py, v5e): compiles and runs correctly
+(max err ~2e-6) after replacing the 5-D transpose and lane-adjacent stack
+with Mosaic-lowerable ops, but measures ~12x SLOWER than the XLA
+composition at the 720p deployment shape — the 25 sublane-misaligned tap
+slices of the halo scratch trigger per-tap relayouts, and the matmul time
+alone (K=64) already matches XLA's whole fused cost. XLA remains the
+production path; the kernel stays opt-in (OFA_SR_TPU_PALLAS=1) as the
+fusion scaffold.
 """
 
 from __future__ import annotations
@@ -70,11 +78,21 @@ def _kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, out_ref, padded, *,
                                 preferred_element_type=jnp.float32)
     acc = acc + b_ref[0]
 
-    # PixelShuffle(2): channel index decomposes row-major as (c, y, x)
-    c = c_out // (R * R)
-    v = acc.reshape(t, width, c, R, R)
-    v = v.transpose(0, 3, 1, 4, 2)        # t, y, width, x, c
-    out_ref[0] = v.reshape(t * R, width * R, c).astype(out_ref.dtype)
+    # PixelShuffle(2) with Mosaic-lowerable ops only (no 5-D transpose, no
+    # lane-adjacent stack — both fail the Mosaic lowering): the dispatch
+    # pre-permuted the weight's output channels into sub-pixel blocks
+    # [(y=0,x=0)|(0,1)|(1,0)|(1,1)] x c, so
+    # - the column interleave is FREE: within a row half, channels are
+    #   [x=0 block | x=1 block], and the caller's final row-major reshape
+    #   (..., W, 2c) -> (..., 2W, c) interleaves columns without moving a
+    #   byte;
+    # - the row interleave is ONE stack along a major axis (supported):
+    #   (t, 2, width, 2c) -> contiguous merge (2t, width, 2c).
+    half = c_out // 2
+    v = acc.reshape(t, width, c_out)
+    rows = jnp.stack([v[:, :, :half], v[:, :, half:]],
+                     axis=1).reshape(t * R, width, half)
+    out_ref[0] = rows.astype(out_ref.dtype)
 
 
 def _pick_t(h, budget_rows=16):
@@ -102,7 +120,7 @@ def _dispatch(x, w25, b, interpret=False):
 
     out = pl.pallas_call(
         functools.partial(_kernel, t=t, width=width, c_in=c_in, c_out=c_out),
-        out_shape=jax.ShapeDtypeStruct((bsz, h * R, width * R, c_out // 4),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * R, width, c_out // 2),
                                        x.dtype),
         grid=grid,
         in_specs=[
@@ -114,7 +132,7 @@ def _dispatch(x, w25, b, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t * R, width * R, c_out // 4),
+            (1, t * R, width, c_out // 2),
             lambda bi, ti: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -122,7 +140,8 @@ def _dispatch(x, w25, b, interpret=False):
         ],
         interpret=interpret,
     )(x, x, x, w25, b[None])
-    return out
+    # the free column interleave: (B, 2H, W, 2c) row-major == (B, 2H, 2W, c)
+    return out.reshape(bsz, h * R, width * R, c_out // 4)
 
 
 def fused_shuffle_tail(x, w, b, *, interpret=False):
@@ -139,5 +158,12 @@ def fused_shuffle_tail(x, w, b, *, interpret=False):
     hw_ok = interpret or (on_tpu and os.environ.get("OFA_SR_TPU_PALLAS") == "1")
     if not hw_ok:
         return shuffle_tail_reference(x, w, b)
-    w25 = w.reshape(KS * KS, w.shape[2], w.shape[3])
-    return _dispatch(x, w25, b, interpret=interpret)
+    # group output channels by sub-pixel (see _kernel's shuffle): PyTorch
+    # PixelShuffle channel index decomposes row-major as (c, y, x), so
+    # sub-pixel s = y*R+x owns channels [c*R*R + s for all c]
+    c_out = w.shape[3]
+    c = c_out // (R * R)
+    perm = jnp.asarray([ci * R * R + s for s in range(R * R)
+                        for ci in range(c)])
+    w25 = w.reshape(KS * KS, w.shape[2], c_out)[:, :, perm]
+    return _dispatch(x, w25, b[perm], interpret=interpret)

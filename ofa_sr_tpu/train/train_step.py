@@ -78,8 +78,12 @@ class SRTrainer:
         # jnp.bfloat16 — halves HBM traffic and activation memory); the f32
         # master params, BN statistics (ops/norm.py), loss and PSNR stay f32
         self.compute_dtype = compute_dtype
-        # None -> remat during training (needed at f32; bf16 activations may
-        # fit without it — pass False to trade memory for ~17% fewer FLOPs)
+        # None -> remat='all' during training: the r2 HW ladder
+        # (exp/perf_step_variants.py) measured checkpoint-every-block at
+        # 2.2x the alternating mode's step rate (38.9 vs 86.8 ms/step, f32,
+        # same session) and it has the lowest HBM footprint; the step is
+        # bandwidth-bound, so recompute beats storing. False/True/'pair'
+        # remain selectable per run (cli --remat).
         self.remat = remat
         # expand_switch: compile a lax.switch branch per expand option so a
         # sampled width executes only its own FLOPs (masking pays max width).
@@ -112,7 +116,8 @@ class SRTrainer:
     def _forward(self, params, state, batch, arch, *, training):
         """Returns (output_hr, new_state). Branches on arch['pixel_d']."""
         bn_training = False if self.bn_frozen else training
-        remat = self.remat if self.remat is not None else training
+        remat = self.remat if self.remat is not None else (
+            "all" if training else False)
         kw = dict(training=training, bn_training=bn_training, remat=remat)
         if self.compute_dtype is not None:
             cd = self.compute_dtype

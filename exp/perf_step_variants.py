@@ -32,6 +32,9 @@ VARIANTS = {
     "bf16-rematpair": ("bf16", "pair"),
     "bf16-rematall": ("bf16", "all"),
     "bf16-rematFalse": ("bf16", False),
+    # ks_switch: sampled ks executes only its own k x k depthwise taps
+    "f32-rematall-ks": ("f32", "all", True),
+    "bf16-rematall-ks": ("bf16", "all", True),
 }
 
 
@@ -67,10 +70,11 @@ def main():
 
     out = {}
     for name in names:
-        cd, remat = VARIANTS[name]
+        cd, remat, *rest = VARIANTS[name]
         dtype = jnp.bfloat16 if cd == "bf16" else None
         trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
-                            compute_dtype=dtype, remat=remat)
+                            compute_dtype=dtype, remat=remat,
+                            ks_switch=bool(rest and rest[0]))
         opt_state = trainer.init_opt_state(params)
         step = trainer.make_scan_train_step(n_subnets=1, donate=False)
         try:

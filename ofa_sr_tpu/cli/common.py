@@ -58,6 +58,10 @@ def add_perf_args(parser: argparse.ArgumentParser):
                              "block while training, the HW-measured fastest "
                              "and smallest mode), off, alternating blocks, "
                              "the expand+depthwise pair, or every block")
+    parser.add_argument("--ks_switch", action="store_true",
+                        help="compile a depthwise branch per kernel size so "
+                             "a sampled ks executes only its own k x k taps "
+                             "(exact vs masking; ~3x compile time)")
     return parser
 
 
@@ -66,9 +70,12 @@ _REMAT_MAP = {"auto": None, "off": False, "alt": True, "pair": "pair",
 
 
 def perf_config_kw(args):
-    # RunConfig kwargs for the precision/remat CLI flags
-    return {"compute_dtype": args.compute_dtype,
-            "remat": _REMAT_MAP[args.remat]}
+    # RunConfig kwargs for the precision/remat/ks-switch CLI flags
+    kw = {"compute_dtype": args.compute_dtype,
+          "remat": _REMAT_MAP[args.remat]}
+    if getattr(args, "ks_switch", False):
+        kw["ks_switch"] = True
+    return kw
 
 
 def set_seeds(seed: int):

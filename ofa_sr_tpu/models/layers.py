@@ -23,6 +23,7 @@ from ..ops.elastic import (
     channel_mask,
     kernel_candidates,
     select_kernel,
+    transform_kernel_chain,
     transform_matrices_init,
 )
 from ..ops.norm import batch_norm, bn_init
@@ -149,7 +150,7 @@ def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
 def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                  act="relu6", training=False, bn_cfg=None, stride=1,
                  se_mid=None, expand_switch=False, out_ch=None,
-                 spatial_mask=None, remat_pair=False):
+                 spatial_mask=None, remat_pair=False, ks_switch=False):
     if out_ch is not None or spatial_mask is not None:
         # elastic output width / bucketed-eval spatial masking: masked
         # execution only
@@ -158,7 +159,8 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                                     training=training, bn_cfg=bn_cfg,
                                     stride=stride, se_mid=se_mid,
                                     out_ch=out_ch, spatial_mask=spatial_mask,
-                                    remat_pair=remat_pair)
+                                    remat_pair=remat_pair,
+                                    ks_switch=ks_switch)
     if expand_switch and "se" not in p and len(space.expand_list) > 1:
         # compile one branch per expand option: only the sampled width's
         # FLOPs execute (masking always pays the max width)
@@ -174,13 +176,13 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
     return _masked_mbconv_apply(p, s, x, space, ks_idx, mid, act=act,
                                 training=training, bn_cfg=bn_cfg,
                                 stride=stride, se_mid=se_mid,
-                                remat_pair=remat_pair)
+                                remat_pair=remat_pair, ks_switch=ks_switch)
 
 
 def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                          act="relu6", training=False, bn_cfg=None, stride=1,
                          se_mid=None, out_ch=None, spatial_mask=None,
-                         remat_pair=False):
+                         remat_pair=False, ks_switch=False):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
     is the active middle width (both traced int32 scalars); `se_mid` the
     active SE bottleneck width when the block has squeeze-excite.
@@ -213,19 +215,37 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
         y = apply_act(y, act)
 
         use_t = "kt" in p["depth_conv"]
-        cands = kernel_candidates(
-            p["depth_conv"]["conv"]["w"],
-            p["depth_conv"].get("kt"),
-            space.ks_list,
-            use_transform=use_t,
-        )
-        w_dw = select_kernel(cands, ks_idx)
         if spatial_mask is not None:
             # shape-bucketed eval: re-zero the pad so the k x k depthwise
             # conv's valid-border outputs equal the unpadded SAME execution
             # (the BN bias made the pad region nonzero)
             y = y * spatial_mask
-        y = depthwise_conv2d(y, w_dw, stride=stride)
+        ks_set = sorted(set(space.ks_list))
+        if ks_switch and len(ks_set) > 1:
+            # compile one depthwise branch per kernel size: the sampled ks
+            # executes only its own k x k taps instead of the window-masked
+            # max-ks conv (7x7 costs 49 VPU MACs/px/ch; the r2 HW profile
+            # found the depthwise VPU time a dominant step cost). Exact:
+            # a k x k kernel at pad k//2 equals the zero-embedded max-ks
+            # kernel at pad max_ks//2 for any stride, and gradients flow
+            # only into the executed branch's transform chain — the same
+            # semantics as the one-hot select_kernel.
+            def dw_branch(ks):
+                eff = transform_kernel_chain(
+                    p["depth_conv"]["conv"]["w"], p["depth_conv"].get("kt"),
+                    space.ks_list, ks, use_t).astype(
+                        p["depth_conv"]["conv"]["w"].dtype)
+                return lambda yy: depthwise_conv2d(yy, eff, stride=stride)
+            y = lax.switch(ks_idx, [dw_branch(k) for k in ks_set], y)
+        else:
+            cands = kernel_candidates(
+                p["depth_conv"]["conv"]["w"],
+                p["depth_conv"].get("kt"),
+                space.ks_list,
+                use_transform=use_t,
+            )
+            w_dw = select_kernel(cands, ks_idx)
+            y = depthwise_conv2d(y, w_dw, stride=stride)
         y, bn_dw = batch_norm(y, p["depth_conv"]["bn"], s["depth_conv"]["bn"],
                               training=training, mask=mask, **bn_cfg)
         y = apply_act(y, act)
@@ -265,7 +285,7 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
                          bn_cfg=None, remat=False, expand_switch=False,
-                         spatial_mask=None):
+                         spatial_mask=None, ks_switch=False):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -282,7 +302,8 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                             act=act, training=training, bn_cfg=bn_cfg,
                             expand_switch=expand_switch,
                             spatial_mask=spatial_mask,
-                            remat_pair=(remat == "pair"))
+                            remat_pair=(remat == "pair"),
+                            ks_switch=ks_switch)
 
     # rematerialize block activations in the backward pass. Modes:
     #   False          — keep everything (full residuals x 16 blocks exceed

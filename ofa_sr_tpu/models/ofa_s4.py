@@ -143,6 +143,7 @@ class OFAMobileNetS4:
                 arch["ks_idx"][lo:hi], arch["mid"][lo:hi], arch["depth"][stage],
                 act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
                 expand_switch=getattr(self, 'expand_switch', False),
+                ks_switch=getattr(self, 'ks_switch', False),
                 spatial_mask=smask)
             blocks_new_s.extend(stage_s)
         new_s["blocks"] = blocks_new_s

@@ -89,10 +89,14 @@ class RunConfig:
     # mixed precision: 'bf16' casts conv/linear banks + activations (BN
     # stats, transform matrices, master params, loss stay f32). None = f32.
     compute_dtype: Optional[str] = None
-    # activation rematerialization: None = auto (on while training),
-    # False/True (alternating blocks), 'pair' (expand+depthwise pair only),
-    # 'all' (every block; minimum memory)
+    # activation rematerialization: None = auto (remat='all' while
+    # training), False/True (alternating blocks), 'pair' (expand+depthwise
+    # pair only), 'all' (every block; minimum memory, HW-fastest)
     remat: object = None  # None | bool | 'pair' | 'all'
+    # compile a depthwise branch per kernel size: a sampled ks executes
+    # only its own k x k taps instead of the window-masked 7x7 (exact;
+    # ~3x compile). See SRTrainer.ks_switch.
+    ks_switch: bool = False
 
     @property
     def config(self):
@@ -168,7 +172,7 @@ class SRRunManager:
                 kd_ratio=run_config.kd_ratio, mode=run_config.mode,
                 bn_frozen=run_config.bn_frozen, teacher_net=t_net,
                 compute_dtype=_compute_dtype_of(run_config),
-                remat=run_config.remat)
+                remat=run_config.remat, ks_switch=run_config.ks_switch)
         else:
             self.trainer = SRTrainer(
                 net, opt_type=run_config.opt_type,
@@ -176,7 +180,7 @@ class SRRunManager:
                 momentum=run_config.momentum, nesterov=run_config.nesterov,
                 mode=run_config.mode, bn_frozen=run_config.bn_frozen,
                 compute_dtype=_compute_dtype_of(run_config),
-                remat=run_config.remat)
+                remat=run_config.remat, ks_switch=run_config.ks_switch)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)

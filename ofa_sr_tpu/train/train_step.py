@@ -64,7 +64,7 @@ class SRTrainer:
                  momentum=0.9, nesterov=True, kd_ratio=0.0,
                  mode: str = "sr", bn_frozen: bool = False,
                  teacher_net=None, compute_dtype=None, remat=None,
-                 expand_switch=False):
+                 expand_switch=False, ks_switch=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -92,6 +92,11 @@ class SRTrainer:
         # branch buffers force, narrower matmuls, and switch overhead) with
         # ~5x compile time — correctness-tested, default off.
         net.expand_switch = expand_switch
+        # ks_switch: compile a depthwise branch per kernel size so a sampled
+        # ks executes only its own k x k taps (masking always pays 7x7; the
+        # r2 HW profile measured depthwise VPU time as a dominant step
+        # cost). Exact vs masking; ~3x branch count in compile.
+        net.ks_switch = ks_switch
         self._tx = None
 
     # -- optimizer ------------------------------------------------------------

@@ -215,6 +215,7 @@ def main():
             "speed_of_light_imgs_per_sec": round(sol_imgs_per_sec, 1),
             "vs_baseline_meaning": "fraction of bf16 MXU speed-of-light for "
                                    "the executed (sampled-subnet) conv FLOPs",
+            "deployment": eval_detail,
         },
     }))
 

@@ -91,9 +91,11 @@ def main():
     space = SearchSpace()
     net = OFAMobileNetS4(space)
     params, state = net.init(jax.random.PRNGKey(0))
-    # remat='all' measured 2.2x faster than alternating-block remat on HW
-    # (exp/perf_step_variants.py r2: 38.9 vs 86.8 ms/step f32, same session)
-    trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5, remat="all")
+    # remat='all_save_bn' measured fastest f32 mode on HW
+    # (exp/perf_step_variants.py r2: 38.6 ms/step vs 40.1 'all' vs 86.8
+    # alternating, same session; BN moments saved across the checkpoint)
+    trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
+                        remat="all_save_bn")
     opt_state = trainer.init_opt_state(params)
 
     bs, hr = 16, 96
@@ -199,7 +201,7 @@ def main():
         "vs_baseline": round(imgs_per_sec / sol_imgs_per_sec, 4),
         "detail": {
             "envelope": "bs16 96px DIV2K supernet step, 1 subnet/step, "
-                        "f32 remat=all, device-side scan of %d "
+                        "f32 remat=all_save_bn, device-side scan of %d "
                         "steps/dispatch" % n_inner,
             "step_ms_best": round(best_ms, 3),
             "step_ms_median": round(median_ms, 3),

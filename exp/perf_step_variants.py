@@ -32,6 +32,8 @@ VARIANTS = {
     "bf16-rematpair": ("bf16", "pair"),
     "bf16-rematall": ("bf16", "all"),
     "bf16-rematFalse": ("bf16", False),
+    "f32-rematallbn": ("f32", "all_save_bn"),
+    "bf16-rematallbn": ("bf16", "all_save_bn"),
     # ks_switch: sampled ks executes only its own k x k depthwise taps
     "f32-rematall-ks": ("f32", "all", True),
     "bf16-rematall-ks": ("bf16", "all", True),

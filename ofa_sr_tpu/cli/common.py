@@ -53,11 +53,12 @@ def add_perf_args(parser: argparse.ArgumentParser):
                         help="bf16: mixed precision (f32 master params, BN "
                              "stats, transform matrices)")
     parser.add_argument("--remat", type=str, default="auto",
-                        choices=["auto", "off", "alt", "pair", "all"],
-                        help="activation rematerialization: auto (= every "
-                             "block while training, the HW-measured fastest "
-                             "and smallest mode), off, alternating blocks, "
-                             "the expand+depthwise pair, or every block")
+                        choices=["auto", "off", "alt", "pair", "all", "allbn"],
+                        help="activation rematerialization: auto (= allbn "
+                             "while training, the HW-measured fastest and "
+                             "smallest mode), off, alternating blocks, the "
+                             "expand+depthwise pair, every block, or every "
+                             "block with BN moments saved (allbn)")
     parser.add_argument("--ks_switch", action="store_true",
                         help="compile a depthwise branch per kernel size so "
                              "a sampled ks executes only its own k x k taps "
@@ -66,7 +67,7 @@ def add_perf_args(parser: argparse.ArgumentParser):
 
 
 _REMAT_MAP = {"auto": None, "off": False, "alt": True, "pair": "pair",
-              "all": "all"}
+              "all": "all", "allbn": "all_save_bn"}
 
 
 def perf_config_kw(args):

@@ -316,15 +316,26 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     #                    ~half the recompute of "all" at similar memory)
     #   "all"          — checkpoint every block (minimum memory, ~33% extra
     #                    FLOPs; the right setting for bigger batches/frames)
-    remat_block_fn = (jax.checkpoint(plain_block_fn)
-                      if remat and not (remat == "pair" and not expand_switch)
-                      else plain_block_fn)
+    #   "all_save_bn"  — "all" + save the (C,)-sized BN batch moments across
+    #                    the boundary (ops/norm.py checkpoint_name): the
+    #                    backward recompute skips re-reducing the full
+    #                    activations for statistics (profiled at ~30% of
+    #                    step time) at ~zero memory cost
+    if remat == "all_save_bn":
+        remat_block_fn = jax.checkpoint(
+            plain_block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "bn_moments"))
+    elif remat and not (remat == "pair" and not expand_switch):
+        remat_block_fn = jax.checkpoint(plain_block_fn)
+    else:
+        remat_block_fn = plain_block_fn
 
     def block_fn(i, *args):
         # expand-switch branches multiply live buffers: checkpoint every
         # block there (pair-granularity doesn't apply to sliced branches);
         # otherwise follow the requested mode
-        if expand_switch or remat == "all":
+        if expand_switch or remat in ("all", "all_save_bn"):
             return remat_block_fn(*args)
         if remat == "pair":
             return plain_block_fn(*args)  # the pair inside is checkpointed

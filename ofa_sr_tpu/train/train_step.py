@@ -78,7 +78,7 @@ class SRTrainer:
         # jnp.bfloat16 — halves HBM traffic and activation memory); the f32
         # master params, BN statistics (ops/norm.py), loss and PSNR stay f32
         self.compute_dtype = compute_dtype
-        # None -> remat='all' during training: the r2 HW ladder
+        # None -> remat='all_save_bn' during training: the r2 HW ladder
         # (exp/perf_step_variants.py) measured checkpoint-every-block at
         # 2.2x the alternating mode's step rate (38.9 vs 86.8 ms/step, f32,
         # same session) and it has the lowest HBM footprint; the step is
@@ -122,7 +122,7 @@ class SRTrainer:
         """Returns (output_hr, new_state). Branches on arch['pixel_d']."""
         bn_training = False if self.bn_frozen else training
         remat = self.remat if self.remat is not None else (
-            "all" if training else False)
+            "all_save_bn" if training else False)
         kw = dict(training=training, bn_training=bn_training, remat=remat)
         if self.compute_dtype is not None:
             cd = self.compute_dtype

@@ -63,3 +63,33 @@ def test_ks_switch_trainer_gradients_match():
                     jax.tree.leaves(results[1][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_remat_all_save_bn_matches_all():
+    """remat='all_save_bn' (save the (C,)-sized BN batch moments across the
+    block checkpoint, skip re-reducing activations in the backward
+    recompute) is gradient-equivalent to remat='all' up to float
+    reassociation of the rescheduled backward."""
+    net0 = OFAMobileNetS4(SMALL)
+    p, s = net0.init(jax.random.PRNGKey(1))
+    batch = {
+        "image": jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3), jnp.float32),
+        "x2": jnp.asarray(np.random.RandomState(2).rand(2, 8, 8, 3), jnp.float32),
+        "x4": jnp.asarray(np.random.RandomState(3).rand(2, 4, 4, 3), jnp.float32),
+    }
+    arch = (sample_subnet(SMALL, seed=5).to_device(SMALL),)
+    res = []
+    for mode in ("all", "all_save_bn"):
+        net = OFAMobileNetS4(SMALL)
+        tr = SRTrainer(net, opt_type="sgd", weight_decay=0.0, remat=mode)
+        opt = tr.init_opt_state(p)
+        step = tr.make_train_step(n_subnets=1, donate=False)
+        p1, s1, _, m = step(p, s, opt, batch, arch, jnp.asarray(1e-2))
+        res.append((p1, s1, float(m["loss"])))
+    assert abs(res[0][2] - res[1][2]) < 1e-7
+    for a, b in zip(jax.tree.leaves(res[0][0]), jax.tree.leaves(res[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-8)
+    for a, b in zip(jax.tree.leaves(res[0][1]), jax.tree.leaves(res[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)

@@ -130,3 +130,22 @@ def test_native_cls_dataset_matches_pil(tmp_path):
             assert a["image"].shape == b["image"].shape == (24, 24, 3)
             # same geometry, backend resample gap only (normalized units)
             assert np.abs(a["image"] - b["image"]).mean() < 0.05, (train, idx)
+
+
+def test_native_loader_jpeg_inputs(tmp_path):
+    """The threaded C++ prefetch loader decodes JPEG HR trees (the ImageNet
+    format) through the same load_image chain as PNG."""
+    rng = np.random.RandomState(7)
+    for i in range(4):
+        arr = (np.cumsum(rng.rand(60, 70, 3), 1) * 7 % 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / ("v%d.jpg" % i), quality=95)
+    paths = sorted(str(p) for p in tmp_path.glob("*.jpg"))
+    ld = NativeSRLoader(paths, crop=32, batch_size=2, augment=True,
+                        n_threads=2)
+    batches = list(ld)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (2, 32, 32, 3)
+    assert b["x2"].shape == (2, 16, 16, 3)
+    assert 0.0 <= b["image"].min() and b["image"].max() <= 1.0
+    assert b["image"].std() > 0.01  # decoded real content, not zeros

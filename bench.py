@@ -222,5 +222,39 @@ def main():
     }))
 
 
+def main_with_retry(retries=2):
+    """Run the bench in a subprocess and retry on failure.
+
+    The relayed chip intermittently wedges (every dispatch fails
+    FAILED_PRECONDITION) and only a fresh process recovers it (r2
+    NOTES); since the driver runs this file exactly once per round, the
+    outer process supervises: forward the child's stdout (the one JSON
+    line) on success, otherwise wait and retry."""
+    import os
+    import subprocess
+    import sys
+    import time as _t
+
+    for attempt in range(retries + 1):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env={**os.environ, "OFA_BENCH_INNER": "1"},
+                           capture_output=True, text=True)
+        json_lines = [l for l in r.stdout.splitlines()
+                      if l.startswith('{"metric"')]
+        if r.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        sys.stderr.write("bench attempt %d failed (rc=%d): %s\n"
+                         % (attempt, r.returncode, r.stderr[-400:]))
+        if attempt < retries:
+            _t.sleep(90)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+    import sys as _sys
+    if _os.environ.get("OFA_BENCH_INNER"):
+        main()
+    else:
+        _sys.exit(main_with_retry())

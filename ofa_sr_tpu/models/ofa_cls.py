@@ -329,7 +329,8 @@ class ElasticClassifierNet:
             return mbconv_apply(bp, bs, xx, self.space, k_i, m_i,
                                 act=act, training=bnt, bn_cfg=bn_cfg,
                                 stride=stride, se_mid=sm_i,
-                                out_ch=o_i if elastic_out else None)
+                                out_ch=o_i if elastic_out else None,
+                                ks_switch=getattr(self, "ks_switch", False))
 
         if remat:
             block_fn = jax.checkpoint(block_fn, static_argnums=(7, 8, 9))

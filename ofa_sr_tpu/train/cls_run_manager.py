@@ -69,7 +69,8 @@ class ClsRunManager:
             # cls block remat is all-or-nothing: None (auto) keeps the
             # trainer default (on); 'alt'/'pair'/'all' all mean on
             remat=(True if run_config.remat is None
-                   else bool(run_config.remat)))
+                   else bool(run_config.remat)),
+            ks_switch=run_config.ks_switch)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, **teacher_kw)
@@ -148,9 +149,11 @@ class ClsRunManager:
             self.params, self.state, self.opt_state, m = self._train_step(
                 self.params, self.state, self.opt_state, dev, archs,
                 jnp.asarray(lr, jnp.float32), step_rng, touched)
+            # meters average the whole epoch (reference AverageMeter
+            # semantics); only the log line is gated on print_frequency
+            losses.update(float(m["loss"]), len(batch["label"]))
+            top1s.update(float(m["top1"]), len(batch["label"]))
             if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
-                losses.update(float(m["loss"]), len(batch["label"]))
-                top1s.update(float(m["top1"]), len(batch["label"]))
                 self.write_log(
                     "Train [%d][%d/%d] loss %.4f top1 %.2f lr %.4g"
                     % (epoch + 1, i + 1, n_batch, float(m["loss"]),

@@ -48,7 +48,8 @@ class ClsTrainer:
     def __init__(self, net, *, opt_type="sgd", weight_decay=3e-5,
                  momentum=0.9, nesterov=True, label_smoothing=0.1,
                  kd_ratio=0.0, kd_type="ce", teacher_net=None,
-                 bn_frozen=False, compute_dtype=None, remat=True):
+                 bn_frozen=False, compute_dtype=None, remat=True,
+                 ks_switch=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -64,6 +65,8 @@ class ClsTrainer:
         # params stay f32 (train_step.cast_params_for_compute)
         self.compute_dtype = compute_dtype
         self.remat = remat
+        # per-kernel-size depthwise branches (models/layers.py ks_switch)
+        net.ks_switch = ks_switch
         self._tx = None
 
     def tx(self, params):

@@ -236,9 +236,18 @@ def main_with_retry(retries=2):
     import time as _t
 
     for attempt in range(retries + 1):
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env={**os.environ, "OFA_BENCH_INNER": "1"},
-                           capture_output=True, text=True)
+        try:
+            # a wedged chip can hang a dispatch rather than fail it; bound the
+            # child so the retry actually fires (advisor r2)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env={**os.environ, "OFA_BENCH_INNER": "1"},
+                               capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write("bench attempt %d timed out after %ds\n"
+                             % (attempt, e.timeout))
+            if attempt < retries:
+                _t.sleep(90)
+            continue
         json_lines = [l for l in r.stdout.splitlines()
                       if l.startswith('{"metric"')]
         if r.returncode == 0 and json_lines:

@@ -108,7 +108,7 @@ def mbconv_init(key, space: SearchSpace, dtype=jnp.float32, use_transform=True,
 
 
 def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
-                          bn_cfg, stride):
+                          bn_cfg, stride, ks_switch=False):
     """One expand-switch branch: the block computed with *statically sliced*
     weights at middle width mid_k (identical numerics to masking — slicing
     is what the reference does). Returns (y, new_state at full width: the
@@ -130,11 +130,24 @@ def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
     new_s["inverted_bottleneck"] = {"bn": pad_bn(bn_ib, s["inverted_bottleneck"]["bn"])}
 
     use_t = "kt" in p["depth_conv"]
-    cands = kernel_candidates(p["depth_conv"]["conv"]["w"],
-                              p["depth_conv"].get("kt"), space.ks_list,
-                              use_transform=use_t)
-    w_dw = select_kernel(cands, ks_idx)[:, :, :, :mid_k]
-    y = depthwise_conv2d(y, w_dw, stride=stride)
+    ks_set = sorted(set(space.ks_list))
+    if ks_switch and len(ks_set) > 1:
+        # per-ks branches inside the sliced-expand branch (advisor r2: without
+        # this, --ks_switch + expand_switch silently kept the window-masked
+        # max-ks depthwise); same exactness argument as the masked path
+        def dw_branch(ks):
+            eff = transform_kernel_chain(
+                p["depth_conv"]["conv"]["w"], p["depth_conv"].get("kt"),
+                space.ks_list, ks, use_t).astype(
+                    p["depth_conv"]["conv"]["w"].dtype)[:, :, :, :mid_k]
+            return lambda yy: depthwise_conv2d(yy, eff, stride=stride)
+        y = lax.switch(ks_idx, [dw_branch(k) for k in ks_set], y)
+    else:
+        cands = kernel_candidates(p["depth_conv"]["conv"]["w"],
+                                  p["depth_conv"].get("kt"), space.ks_list,
+                                  use_transform=use_t)
+        w_dw = select_kernel(cands, ks_idx)[:, :, :, :mid_k]
+        y = depthwise_conv2d(y, w_dw, stride=stride)
     bp, bs = slice_bn(p["depth_conv"]["bn"], s["depth_conv"]["bn"])
     y, bn_dw = batch_norm(y, bp, bs, training=training, **bn_cfg)
     y = apply_act(y, act)
@@ -169,7 +182,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
         branches = [
             (lambda mk: (lambda xx: _sliced_mbconv_branch(
                 p, s, xx, space, ks_idx, mk, act=act, training=training,
-                bn_cfg=bn_cfg, stride=stride)))(mk)
+                bn_cfg=bn_cfg, stride=stride, ks_switch=ks_switch)))(mk)
             for mk in mids
         ]
         return lax.switch(idx, branches, x)

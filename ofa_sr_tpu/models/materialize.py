@@ -164,8 +164,9 @@ class StaticSubnet:
 
         This is the bucketed-eval equivalence (ops/elastic.spatial_valid_mask)
         restricted to rows: zeroing the out-of-frame region before every
-        spatial conv makes the valid rows bitwise equal to the SAME-padded
-        execution of the unpadded frame. Used by parallel/spatial.py where a
+        spatial conv makes the valid rows window-exact vs the SAME-padded
+        execution of the unpadded frame (bitwise up to XLA reduction
+        scheduling; see spatial_valid_mask). Used by parallel/spatial.py where a
         device's slab carries a zero halo at a true frame edge."""
         if row_valid is None:
             return x

@@ -13,8 +13,9 @@ Frame-edge and row-padding correctness: ppermute leaves non-receiving edge
 devices with zero halos, and the frame's rows may be padded up to a multiple
 of the mesh size; both are handled by the subnet's `row_valid` re-zeroing
 (models/materialize.py) — rows outside the true frame are re-zeroed before
-every spatial conv, which makes the valid region bitwise equal to the
-unpadded SAME-padded execution (the bucketed-eval equivalence).
+every spatial conv, which makes the valid region window-exact vs the
+unpadded SAME-padded execution (the bucketed-eval equivalence; bitwise up
+to XLA reduction scheduling, ULPs otherwise).
 
 Contrast with train/tiled_infer.tiled_sr_infer_mesh (tile-batch sharding,
 zero communication, host-side stitching): halo exchange keeps the whole

@@ -11,7 +11,9 @@ and the output centers are stitched.
 Exactness: an output pixel depends on inputs within the network's receptive
 field (radius ~3 per 7x7 depthwise block + 2 per 5x5 conv — ~60 LR px for
 the max-depth subnet). With halo >= that radius the interior of every tile
-is bitwise identical to the full-frame execution; at the true frame border
+is window-exact vs the full-frame execution (same dot products over the
+same operand windows; bitwise on matched XLA reduction schedules, within
+summation-order ULPs otherwise); at the true frame border
 the tile sees the same zero padding (SAME convs) the full frame would.
 `receptive_field_radius` computes the exact bound per subnet so callers can
 pick a sufficient halo (validated in tests/test_tiled_infer.py).

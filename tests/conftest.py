@@ -19,3 +19,33 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import pytest  # noqa: E402
+
+# Fast tier (VERDICT r2 item 9): `pytest -m "not slow"` runs in <5 min on
+# this 1-CPU container. Modules listed here compile the full X4 step, drive
+# the torch oracle, or spawn subprocess meshes — each alone costs minutes.
+_SLOW_MODULES = {
+    "test_reference_parity",
+    "test_train_parity",
+    "test_cls",
+    "test_scan_trainer",
+    "test_determinism",
+    "test_multihost",
+    "test_train",
+    "test_run_manager",
+    "test_mesh_run_manager",
+    "test_bucketed_eval",
+    "test_spatial",
+    "test_tiled_infer",
+    "test_net_config",
+    "test_materialize_cls",
+    "test_expand_switch",
+    "test_ks_switch",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

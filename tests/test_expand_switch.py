@@ -30,6 +30,27 @@ def test_expand_switch_matches_masked_forward_and_state():
     net.expand_switch = False
 
 
+def test_expand_switch_with_ks_switch_matches_masked():
+    """advisor r2: ks_switch must stay exact inside the sliced-expand
+    branches (it used to be silently dropped there)."""
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(2))
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 8, 8, 3).astype(np.float32))
+    for seed in range(3):
+        cfg = sample_subnet(SMALL, seed=seed)
+        arch = cfg.to_device(SMALL)
+        net.expand_switch = net.ks_switch = False
+        y0, s0 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=True)
+        net.expand_switch = net.ks_switch = True
+        y1, s1 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=True)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+    net.expand_switch = net.ks_switch = False
+
+
 def test_expand_switch_trainer_gradients_match():
     net_a = OFAMobileNetS4(SMALL)
     p, s = net_a.init(jax.random.PRNGKey(1))

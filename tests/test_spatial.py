@@ -32,7 +32,8 @@ def test_row_valid_masking_matches_unpadded():
     xp = np.pad(x, ((0, 0), (0, 12), (0, 0), (0, 0)))
     y_pad = np.asarray(subnet(jnp.asarray(xp),
                               row_valid=(jnp.int32(0), jnp.int32(20))))
-    np.testing.assert_allclose(y_pad[:, :40], y_ref, rtol=1e-6, atol=1e-7)
+    # window-exact claim (parallel/spatial.py): ULP-tight (VERDICT r2 §7)
+    np.testing.assert_allclose(y_pad[:, :40], y_ref, rtol=5e-6, atol=1e-6)
     # padded region output is garbage by contract; only the valid rows count
 
 
@@ -52,4 +53,4 @@ def test_spatial_sharded_matches_full_frame():
             y_full = np.asarray(jax.jit(subnet)(jnp.asarray(x)))
             y_sh = run(x)
             assert y_sh.shape == y_full.shape
-            np.testing.assert_allclose(y_sh, y_full, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(y_sh, y_full, rtol=5e-6, atol=1e-6)

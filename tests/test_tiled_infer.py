@@ -25,9 +25,8 @@ def test_tiled_matches_full_frame():
         y_full = np.asarray(jsub(jnp.asarray(x)))
         y_tiled = tiled_sr_infer(lambda t: jsub(jnp.asarray(t)), x,
                                  tile=16, halo=halo, scale=2 ** pd)
-        # interior is receptive-field exact; tolerance covers conv
-        # accumulation-order noise between the two tile shapes
-        np.testing.assert_allclose(y_tiled, y_full, rtol=1e-4, atol=2e-5)
+        # window-exact (train/tiled_infer.py docstring): ULP-tight bound
+        np.testing.assert_allclose(y_tiled, y_full, rtol=5e-6, atol=1e-6)
 
 
 def test_insufficient_halo_actually_differs():
@@ -70,6 +69,6 @@ def test_mesh_tiled_matches_sequential_and_full():
     mesh = make_mesh()
     y_mesh = tiled_sr_infer_mesh(jsub, x, tile=16, halo=halo, scale=2,
                                  mesh=mesh)
-    # same windows, batched+sharded execution: only conv batching noise
-    np.testing.assert_allclose(y_mesh, y_seq, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(y_mesh, y_full, rtol=1e-4, atol=2e-5)
+    # same windows, batched+sharded execution: ULP-tight (VERDICT r2 §7)
+    np.testing.assert_allclose(y_mesh, y_seq, rtol=5e-6, atol=1e-6)
+    np.testing.assert_allclose(y_mesh, y_full, rtol=5e-6, atol=1e-6)

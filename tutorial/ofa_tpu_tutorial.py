@@ -117,11 +117,12 @@ def main():
 
     from ofa_sr_tpu.models.export import export_subnet, load_subnet
 
-    art = tempfile.mktemp(suffix=".stablehlo")
-    blob = export_subnet(net, rm.params, rm.state, best,
-                         (xin.shape[1], xin.shape[2]), path=art)
-    served = load_subnet(art)
-    assert jnp.array_equal(served(xin), y)
+    with tempfile.TemporaryDirectory() as tdir:
+        art = os.path.join(tdir, "winner.stablehlo")
+        blob = export_subnet(net, rm.params, rm.state, best,
+                             (xin.shape[1], xin.shape[2]), path=art)
+        served = load_subnet(art)
+        assert jnp.array_equal(served(xin), y)
     print("\n== AOT export ==")
     print("  %d-byte StableHLO artifact (cpu+tpu), serves bit-identically"
           % len(blob))

@@ -3,8 +3,10 @@
 Mirrors /root/reference/train_ofa_net.py: OFAMobileNetV3 supernet with KD
 from a pretrained D4-E6-K7 teacher (kd_ratio 1.0), task/phase schedule over
 kernel -> depth -> expand, elastic resolution 128-224, LR scaled by world
-size (:150). Data parallelism is the mesh (all local devices) instead of
-Horovod; batches are global and sharded.
+size (:150). Data parallelism is a jax.sharding.Mesh over all local devices
+(built here, passed to ClsRunManager) instead of Horovod: params/optimizer
+replicate, the global batch shards over the 'data' axis, and XLA inserts
+the gradient all-reduce (parallel/mesh.py).
 
 Run: python -m ofa_sr_tpu.cli.train_ofa_net --task kernel [--synthetic]
 """
@@ -112,8 +114,12 @@ def main(argv=None):
         weight_decay=3e-5, train_batch_size=global_bs,
         dynamic_batch_size=preset["dynamic_batch_size"],
         kd_ratio=kd_ratio, kd_type="ce", manual_seed=args.manual_seed)
+    mesh = None
+    if n_dev > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh()
     rm = ClsRunManager(args.path or preset["path"], net, cfg, provider,
-                       teacher=teacher)
+                       teacher=teacher, mesh=mesh)
     if args.warmstart:
         rm.load_weights(args.warmstart)
     best = rm.train()

@@ -32,12 +32,17 @@ from .schedules import lr_at_step
 class ClsRunManager:
     def __init__(self, path, net, run_config: RunConfig, provider, *,
                  teacher=None, label_smoothing=0.1, is_root=True, init=True,
-                 params=None, state=None):
+                 params=None, state=None, mesh=None):
         self.path = path
         self.net = net
         self.run_config = run_config
         self.provider = provider
         self.is_root = is_root
+        # jax.sharding.Mesh -> data-parallel execution: params/opt replicate,
+        # batches shard, XLA inserts the gradient all-reduce — the
+        # DistributedRunManager equivalent (distributed_run_manager.py:72-75)
+        # the SR manager already had (run_manager.py SRRunManager.mesh)
+        self.mesh = mesh
         if is_root:
             os.makedirs(os.path.join(path, "logs"), exist_ok=True)
             os.makedirs(self.save_path, exist_ok=True)
@@ -74,8 +79,28 @@ class ClsRunManager:
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, **teacher_kw)
+        # device-side multi-step path (amortizes per-step dispatch RTT on a
+        # relay-attached chip — the SR manager's steps_per_dispatch)
+        self._scan_step = (
+            self.trainer.make_scan_train_step(
+                n_subnets=run_config.dynamic_batch_size, **teacher_kw)
+            if run_config.steps_per_dispatch > 1 else None)
         self._eval_step = self.trainer.make_eval_step()
         self._rng = jax.random.PRNGKey(run_config.manual_seed + 1)
+
+        if self.mesh is not None:
+            from ..parallel import shard_params
+            self.params = shard_params(self.params, self.mesh)
+            self.state = shard_params(self.state, self.mesh)
+            self.opt_state = shard_params(self.opt_state, self.mesh)
+
+    def _to_device(self, batch):
+        dev = {"image": jnp.asarray(batch["image"]),
+               "label": jnp.asarray(batch["label"])}
+        if self.mesh is not None and dev["image"].shape[0] % self.mesh.size == 0:
+            from ..parallel import shard_batch
+            dev = shard_batch(dev, self.mesh)
+        return dev
 
     @property
     def save_path(self):
@@ -135,29 +160,67 @@ class ClsRunManager:
         loader.set_epoch(epoch)
         n_batch = len(loader)
         losses, top1s = AverageMeter(), AverageMeter()
+        pending = []
+
+        def record(m, n, i, lr):
+            # meters average the whole epoch (reference AverageMeter
+            # semantics); only the log line is gated on print_frequency
+            losses.update(float(m["loss"]), n)
+            top1s.update(float(m["top1"]), n)
+            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
+                self.write_log(
+                    "Train [%d][%d/%d] loss %.4f top1 %.2f lr %.4g"
+                    % (epoch + 1, i + 1, n_batch, float(m["loss"]),
+                       float(m["top1"]), lr), "train", should_print=False)
+
+        def flush():
+            if not pending:
+                return
+            if (self._scan_step is not None
+                    and len(pending) == rc.steps_per_dispatch):
+                # one dispatch = the whole window of optimizer steps
+                batches = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *[q[0] for q in pending])
+                archs = tuple(
+                    jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[q[1][k] for q in pending])
+                    for k in range(rc.dynamic_batch_size))
+                lrs = jnp.asarray([q[2] for q in pending], jnp.float32)
+                rngs = jnp.stack([q[3] for q in pending])
+                touched = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *[q[4] for q in pending])
+                (self.params, self.state, self.opt_state,
+                 m) = self._scan_step(self.params, self.state,
+                                      self.opt_state, batches, archs, lrs,
+                                      rngs, touched)
+                record(m, sum(q[5] for q in pending), pending[-1][6],
+                       pending[-1][2])
+            else:  # tail shorter than the window: plain steps
+                for (dev, archs, lr, rng, touched, n, i) in pending:
+                    (self.params, self.state, self.opt_state,
+                     m) = self._train_step(self.params, self.state,
+                                           self.opt_state, dev, archs,
+                                           jnp.asarray(lr, jnp.float32),
+                                           rng, touched)
+                    record(m, n, i, lr)
+            pending.clear()
+
         for i, batch in enumerate(loader):
             lr = lr_at_step(rc.base_lr, epoch, i, n_batch, rc.n_epochs,
                             warmup_epochs=rc.warmup_epochs,
                             warmup_lr=rc.warmup_lr,
                             lr_schedule_type=rc.lr_schedule_type)
             archs, descs = self.sample_archs(epoch, n_batch, i, constraints)
-            dev = {"image": jnp.asarray(batch["image"]),
-                   "label": jnp.asarray(batch["label"])}
+            dev = self._to_device(batch)
             self._rng, step_rng = jax.random.split(self._rng)
             # torch-exact optimizer gating (optim.TorchOpt / train.touched)
             touched = cls_touched_mask(self.net, self.params, descs)
-            self.params, self.state, self.opt_state, m = self._train_step(
-                self.params, self.state, self.opt_state, dev, archs,
-                jnp.asarray(lr, jnp.float32), step_rng, touched)
-            # meters average the whole epoch (reference AverageMeter
-            # semantics); only the log line is gated on print_frequency
-            losses.update(float(m["loss"]), len(batch["label"]))
-            top1s.update(float(m["top1"]), len(batch["label"]))
-            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
-                self.write_log(
-                    "Train [%d][%d/%d] loss %.4f top1 %.2f lr %.4g"
-                    % (epoch + 1, i + 1, n_batch, float(m["loss"]),
-                       float(m["top1"]), lr), "train", should_print=False)
+            pending.append((dev, archs, lr, step_rng, touched,
+                            len(batch["label"]), i))
+            if len(pending) == max(rc.steps_per_dispatch, 1):
+                flush()
+        flush()
         return losses.avg, top1s.avg
 
     def validate(self, arch=None, loader=None):
@@ -165,8 +228,7 @@ class ClsRunManager:
         loader = loader if loader is not None else self.provider.test
         losses, top1s, top5s = AverageMeter(), AverageMeter(), AverageMeter()
         for batch in loader:
-            dev = {"image": jnp.asarray(batch["image"]),
-                   "label": jnp.asarray(batch["label"])}
+            dev = self._to_device(batch)
             out = self._eval_step(self.params, self.state, dev, arch_dev)
             n = len(batch["label"])
             losses.update(float(out["loss"]), n)

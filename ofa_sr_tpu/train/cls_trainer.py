@@ -146,6 +146,73 @@ class ClsTrainer:
 
         return jax.jit(build, donate_argnums=(0, 1, 2) if donate else ())
 
+    def make_scan_train_step(self, n_subnets=1, teacher_params=None,
+                             teacher_state=None, teacher_arch=None,
+                             donate=False):
+        """Device-side multi-step classification training: one dispatch runs
+        n_inner optimizer steps via lax.scan (the SR trainer's
+        steps_per_dispatch path, train_step.make_scan_train_step — on a
+        relay-attached chip this amortizes the per-step dispatch RTT the
+        plain path pays). Inputs carry a leading n_inner axis: batches
+        {k: [n,B,...]}, archs = tuple of n_subnets stacked-arch pytrees,
+        lrs [n], rngs [n, 2] (one PRNG key per inner step), optional stacked
+        touched masks. Per-step semantics identical to make_train_step,
+        including KD (teacher params are scan invariants; its forward runs
+        per inner step)."""
+        tx_holder = {}
+
+        def one_step(params, state, opt_state, batch, archs, lr, rng,
+                     touched):
+            soft = None
+            if self.kd_ratio > 0 and self.teacher_net is not None:
+                t_logits, _ = self.teacher_net.apply(
+                    teacher_params, teacher_state, batch["image"],
+                    teacher_arch, training=False)
+                soft = jax.nn.softmax(jax.lax.stop_gradient(t_logits))
+            grads_sum, cur_state = None, state
+            losses, top1s, top5s = [], [], []
+            for k in range(n_subnets):
+                rng, sub = jax.random.split(rng)
+                (loss, (cur_state, t1, t5)), g = jax.value_and_grad(
+                    self._subnet_loss, has_aux=True)(
+                        params, cur_state, batch, archs[k], soft, sub)
+                grads_sum = g if grads_sum is None else jax.tree.map(
+                    jnp.add, grads_sum, g)
+                losses.append(loss)
+                top1s.append(t1)
+                top5s.append(t5)
+            new_params, new_opt = tx_holder["tx"].update(
+                params, grads_sum, opt_state, lr, touched)
+            return new_params, cur_state, new_opt, {
+                "loss": jnp.mean(jnp.stack(losses)),
+                "top1": jnp.mean(jnp.stack(top1s)),
+                "top5": jnp.mean(jnp.stack(top5s))}
+
+        def scan_steps(params, state, opt_state, batches, archs, lrs, rngs,
+                       touched=None):
+            tx_holder["tx"] = self.tx(params)
+            has_touched = touched is not None
+
+            def body(carry, xs):
+                params, state, opt_state = carry
+                if has_touched:
+                    batch, arch, lr, rng, tch = xs
+                else:
+                    batch, arch, lr, rng = xs
+                    tch = None
+                params, state, opt_state, m = one_step(
+                    params, state, opt_state, batch, arch, lr, rng, tch)
+                return (params, state, opt_state), m
+
+            xs = ((batches, archs, lrs, rngs, touched) if has_touched
+                  else (batches, archs, lrs, rngs))
+            (params, state, opt_state), ms = jax.lax.scan(
+                body, (params, state, opt_state), xs)
+            return params, state, opt_state, jax.tree.map(jnp.mean, ms)
+
+        return jax.jit(scan_steps,
+                       donate_argnums=(0, 1, 2) if donate else ())
+
     def make_eval_step(self):
         def step(params, state, batch, arch):
             logits, _ = self.net.apply(params, state, batch["image"], arch,

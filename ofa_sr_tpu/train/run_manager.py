@@ -184,13 +184,10 @@ class SRRunManager:
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)
-        if run_config.steps_per_dispatch > 1 and run_config.kd_ratio > 0:
-            raise NotImplementedError(
-                "KD is not supported on the multi-step scan path; use "
-                "steps_per_dispatch=1 with kd_ratio > 0")
         self._scan_step = (
             self.trainer.make_scan_train_step(
-                n_subnets=run_config.dynamic_batch_size, donate=False)
+                n_subnets=run_config.dynamic_batch_size, donate=False,
+                **teacher_kw)
             if run_config.steps_per_dispatch > 1 else None)
         self._eval_step = self.trainer.make_eval_step()
 

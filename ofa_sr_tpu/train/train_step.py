@@ -230,7 +230,9 @@ class SRTrainer:
         donate_argnums = (0, 1, 2) if donate else ()
         return jax.jit(build, donate_argnums=donate_argnums)
 
-    def make_scan_train_step(self, n_subnets: int = 1, donate: bool = True):
+    def make_scan_train_step(self, n_subnets: int = 1, teacher_params=None,
+                             teacher_state=None, teacher_arch=None,
+                             teacher_pixel_d: int = 1, donate: bool = True):
         """Device-side multi-step training: one dispatch runs `n_inner`
         optimizer steps via lax.scan over stacked batches/archs/lrs.
 
@@ -238,11 +240,21 @@ class SRTrainer:
         behind a network relay) and lets XLA overlap steps. Inputs carry a
         leading n_inner axis: batches {k: [n,B,...]}, archs = tuple of
         n_subnets stacked-arch pytrees ([n, ...] leaves), lrs [n].
-        Semantics per inner step are identical to make_train_step.
+        Semantics per inner step are identical to make_train_step, including
+        KD: the teacher's params/state are scan invariants closed over here,
+        and its forward runs on each inner step's batch inside the scan body
+        (reference KD accumulation, progressive_shrinking_original.py:137-146).
         """
         tx_holder = {}
 
         def one_step(params, state, opt_state, batch, archs, lr, touched):
+            teacher_out = None
+            if self.kd_ratio > 0 and self.teacher_net is not None:
+                teacher_out, _ = self.teacher_net.apply(
+                    teacher_params, teacher_state,
+                    batch["x%d" % (2 ** teacher_pixel_d)], teacher_arch,
+                    pixel_d=teacher_pixel_d, training=False)
+                teacher_out = lax.stop_gradient(teacher_out)
             grads_sum = None
             losses, psnrs = [], []
             cur_state = state
@@ -250,7 +262,7 @@ class SRTrainer:
                 arch = jax.tree.map(lambda a: a, archs[k])
                 (loss, (cur_state, psnr)), g = jax.value_and_grad(
                     self._subnet_loss, has_aux=True)(
-                        params, cur_state, batch, arch, None)
+                        params, cur_state, batch, arch, teacher_out)
                 grads_sum = g if grads_sum is None else jax.tree.map(
                     jnp.add, grads_sum, g)
                 losses.append(loss)

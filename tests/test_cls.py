@@ -185,3 +185,57 @@ def test_cls_trainer_bf16_close_to_f32():
             assert leaf.dtype == jnp.float32
     assert abs(losses[None] - losses[jnp.bfloat16]) < 0.05 * max(
         1.0, abs(losses[None]))
+
+
+def test_cls_scan_matches_sequential_steps():
+    """ClsTrainer.make_scan_train_step == sequential make_train_step calls
+    (same per-step rngs/archs/touched), incl. KD."""
+    from ofa_sr_tpu.train.touched import cls_touched_mask
+
+    teacher = _tiny_net()
+    tp, ts = teacher.init(jax.random.PRNGKey(9))
+    t_arch = teacher.arch_to_device(teacher.max_arch())
+
+    net = _tiny_net()
+    p0, s0 = net.init(jax.random.PRNGKey(3))
+    tr = ClsTrainer(net, opt_type="sgd", weight_decay=3e-5, kd_ratio=0.5,
+                    teacher_net=teacher)
+    opt0 = tr.init_opt_state(p0)
+    teacher_kw = dict(teacher_params=tp, teacher_state=ts,
+                      teacher_arch=t_arch)
+
+    n = 3
+    rng = np.random.RandomState(0)
+    batches = {
+        "image": jnp.asarray(rng.rand(n, 2, 16, 16, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 10, (n, 2)), jnp.int32),
+    }
+    cfgs = [net.sample_arch(seed=i) for i in range(n)]
+    archs = [net.arch_to_device(c) for c in cfgs]
+    toucheds = [cls_touched_mask(net, p0, [c]) for c in cfgs]
+    rngs = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(n)])
+    lrs = jnp.full((n,), 1e-2, jnp.float32)
+
+    step = tr.make_train_step(n_subnets=1, **teacher_kw)
+    pp, ss, oo = p0, s0, opt0
+    losses = []
+    for i in range(n):
+        b = jax.tree.map(lambda x: x[i], batches)
+        pp, ss, oo, m = step(pp, ss, oo, b, (archs[i],), lrs[i], rngs[i],
+                             toucheds[i])
+        losses.append(float(m["loss"]))
+
+    scan = tr.make_scan_train_step(n_subnets=1, **teacher_kw)
+    stacked_archs = (jax.tree.map(lambda *xs: jnp.stack(xs), *archs),)
+    stacked_touched = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *toucheds)
+    p2, s2, o2, m2 = scan(p0, s0, opt0, batches, stacked_archs, lrs, rngs,
+                          stacked_touched)
+
+    assert abs(float(m2["loss"]) - float(np.mean(losses))) < 1e-5
+    for a, b in zip(jax.tree.leaves(pp), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ss), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

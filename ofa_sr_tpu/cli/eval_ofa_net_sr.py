@@ -61,6 +61,11 @@ def build_args(argv=None):
                    help="with --materialize: shard each frame's rows over "
                         "the device mesh with ICI halo exchange "
                         "(parallel/spatial.py; alternative to --tile)")
+    p.add_argument("--x4_autoencoder", action="store_true",
+                   help="evaluate an OFAMobileNetX4 in autoencoder mode "
+                        "(learned downscale + SR): the net consumes the HR "
+                        "frame itself. --tile/--spatial_mesh work here too "
+                        "(HR-unit halos aligned to the unshuffle grid).")
     return p.parse_args(argv)
 
 
@@ -69,18 +74,26 @@ def main(argv=None):
     set_seeds(args.manual_seed)
 
     space = SearchSpace()
-    net = OFAMobileNetS4(space, use_transform=args.dy_conv_scaling_mode == 1)
+    if args.x4_autoencoder:
+        from ..models import OFAMobileNetX4
+        net = OFAMobileNetX4(space,
+                             use_transform=args.dy_conv_scaling_mode == 1)
+    else:
+        net = OFAMobileNetS4(space,
+                             use_transform=args.dy_conv_scaling_mode == 1)
     provider_cls = (OracleVideoProvider if args.dataset == "oracle_video"
                     else Div2KSetXXProvider)
     provider = make_sr_provider(args, provider_cls)
     cfg = RunConfig(test_batch_size=1, image_size=args.image_size,
-                    bn_recalib_before_eval=args.bn_recalib)
+                    bn_recalib_before_eval=args.bn_recalib,
+                    mode="autoencoder" if args.x4_autoencoder else "sr")
     rm = SRRunManager(args.path, net, cfg, provider)
     if args.checkpoint:
         rm.load_weights(args.checkpoint)
 
     sub_cfg = uniform_subnet(space, args.ks, args.expand, args.depth,
-                             args.pixel_d)
+                             args.pixel_d,
+                             n_trunks=2 if args.x4_autoencoder else 1)
     if args.bn_recalib:
         rm.reset_running_statistics(sub_cfg, n_images=64, batch_size=16)
 
@@ -99,28 +112,43 @@ def main(argv=None):
     if args.materialize:
         import json
 
-        subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg)
+        ae = args.x4_autoencoder
+        subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg,
+                                   mode="autoencoder" if ae else "sr")
         jsub = jax.jit(subnet)
         infer = jsub
         if args.spatial_mesh:
             from ..parallel import make_mesh
             from ..parallel.spatial import make_spatial_infer
-            from ..train.tiled_infer import receptive_field_radius
-            halo = receptive_field_radius(sub_cfg, space)
-            scale = 2 ** sub_cfg.pixel_d
+            from ..train.tiled_infer import (
+                receptive_field_radius, receptive_field_radius_autoencoder)
+            if ae:
+                halo = receptive_field_radius_autoencoder(sub_cfg, space)
+                scale, align = 1, 2 ** sub_cfg.pixel_d
+            else:
+                halo = receptive_field_radius(sub_cfg, space)
+                scale, align = 2 ** sub_cfg.pixel_d, 1
             run_sp = make_spatial_infer(subnet, make_mesh(), halo=halo,
-                                        scale=scale)
+                                        scale=scale, align=align)
 
             def infer(x):  # noqa: F811 — mesh-spatial path
                 return jnp.asarray(run_sp(np.asarray(x)))
         elif args.tile:
             from ..train.tiled_infer import (
                 receptive_field_radius,
+                receptive_field_radius_autoencoder,
                 tiled_sr_infer,
                 tiled_sr_infer_mesh,
             )
-            halo = receptive_field_radius(sub_cfg, space)
-            scale = 2 ** sub_cfg.pixel_d
+            if ae:
+                # HR-unit tile/halo aligned to the unshuffle grid
+                sc = 2 ** sub_cfg.pixel_d
+                halo = receptive_field_radius_autoencoder(sub_cfg, space)
+                scale = 1
+                args.tile = -(-args.tile // sc) * sc
+            else:
+                halo = receptive_field_radius(sub_cfg, space)
+                scale = 2 ** sub_cfg.pixel_d
 
             if args.tile_mesh:
                 from ..parallel.mesh import make_mesh
@@ -135,7 +163,7 @@ def main(argv=None):
                     return jnp.asarray(tiled_sr_infer(
                         lambda t: jsub(jnp.asarray(t)), np.asarray(x),
                         tile=args.tile, halo=halo, scale=scale))
-        key = "x%d" % (2 ** sub_cfg.pixel_d)
+        key = "image" if ae else "x%d" % (2 ** sub_cfg.pixel_d)
         log_f = open(args.frame_log, "a") if args.frame_log else None
         psnrs, times = [], []
         for fi, batch in enumerate(provider.test):

@@ -217,20 +217,32 @@ class StaticSubnet:
         rows; rows outside are re-zeroed before every spatial conv so the
         valid region matches the unpadded execution exactly (used by
         parallel/spatial.py for mesh-sharded frames and for row-padded
-        shapes). 'sr' mode only."""
+        shapes). In 'autoencoder' mode lo/hi are HR-input rows and MUST be
+        multiples of 2**pixel_d (the ModCrop contract) so the pixel-unshuffle
+        grid of the valid region matches the unpadded frame's."""
         m = self.params
         if self.is_x4 and self.mode == "autoencoder":
-            assert row_valid is None, "row_valid supports 'sr' mode only"
+            rv = None
+            if row_valid is not None:
+                # internal row_valid bookkeeping is in LR (bottleneck) row
+                # units everywhere; the unshuffle-alignment contract makes
+                # this division exact
+                sc = 2 ** self.pixel_d
+                rv = (row_valid[0] // sc, row_valid[1] // sc)
+            f = 2 ** self.pixel_d
             for lp in m["enc_unshuffle"]:
-                x = self._conv_layer(lp, x, shuffle="unshuffle")
+                x = self._conv_layer(lp, x, shuffle="unshuffle",
+                                     row_valid=rv, f=f)
+                f //= 2
             skip = x
             for stage in m["enc_stages"]:
                 for bp in stage:
-                    x = self._mbconv(bp, x) + x
+                    x = self._mbconv(bp, x, row_valid=rv) + x
             for i, lp in enumerate(m["enc_final"]):
-                x = self._conv_layer(lp, x)
+                x = self._conv_layer(lp, x, row_valid=rv)
                 if i == 0:
                     x = x + skip
+            row_valid = rv  # decoder continues in LR units
         rv = row_valid
         x = self._conv_layer(m["dec_first"], x, row_valid=rv)
         skip = x

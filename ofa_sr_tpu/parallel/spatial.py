@@ -39,16 +39,26 @@ except ImportError:  # pragma: no cover — older jax
 
 
 def make_spatial_infer(subnet, mesh, *, halo: int, scale: int,
-                       axis: str = "data"):
+                       axis: str = "data", align: int = 1):
     """Build `infer(x, true_h) -> (1, Hpad*scale, W, C)` running `subnet`
-    (a models.materialize.StaticSubnet, 'sr' mode) H-sharded over `mesh`.
+    (a models.materialize.StaticSubnet) H-sharded over `mesh`.
 
     `halo` must be >= the subnet's receptive-field radius
-    (train/tiled_infer.receptive_field_radius). x's row count must be a
-    multiple of the mesh size (pad with `pad_rows`); `true_h` marks the real
-    frame rows. Rows [0, true_h*scale) of the result are exact.
+    (train/tiled_infer.receptive_field_radius; the autoencoder variant for
+    X4 deployment). x's row count must be a multiple of the mesh size (pad
+    with `pad_rows`); `true_h` marks the real frame rows. Rows
+    [0, true_h*scale) of the result are exact.
+
+    `align`: slab/halo row alignment. For 'autoencoder' subnets pass
+    2**pixel_d (and scale=1, halo in HR pixels from
+    receptive_field_radius_autoencoder): halos and slab boundaries then land
+    on the pixel-unshuffle grid, so every device groups the same 2x2 pixel
+    blocks the full-frame execution does. true_h must be a multiple of
+    align (the ModCrop contract).
     """
     n = int(np.prod(mesh.devices.shape))
+    if halo % align:
+        halo += align - halo % align
 
     def body(xs, true_h):
         # xs: (1, slab, W, C) local; true_h: replicated scalar
@@ -88,8 +98,8 @@ def make_spatial_infer(subnet, mesh, *, halo: int, scale: int,
         assert x.shape[0] == 1, "frame-at-a-time inference"
         if true_h is None:
             true_h = x.shape[1]
-        if x.shape[1] % n:
-            pad = n - x.shape[1] % n
+        if x.shape[1] % (n * align):
+            pad = n * align - x.shape[1] % (n * align)
             x = np.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
         xd = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
         y = infer(xd, true_h)

@@ -48,6 +48,29 @@ def receptive_field_radius(cfg, space, conv_ks: int = 5) -> int:
     return r
 
 
+def receptive_field_radius_autoencoder(cfg, space, conv_ks: int = 5) -> int:
+    """RF radius in *HR-input* pixels of an X4 autoencoder subnet
+    (encoder unshuffle chain + encoder trunk + decoder), aligned up to a
+    multiple of 2**pixel_d so halos preserve the pixel-unshuffle grid.
+
+    Conservative: every encoder conv is counted at full k//2 LR pixels even
+    when it runs above LR resolution (where its LR-unit radius is smaller).
+    """
+    sc = 2 ** cfg.pixel_d
+    r = cfg.pixel_d * (conv_ks // 2)          # enc_unshuffle convs
+    d = cfg.d[:space.n_stages]
+    ks = cfg.ks[:space.blocks_per_trunk]
+    bi = 0
+    for stage in range(space.n_stages):
+        for i in range(space.max_depth):
+            if i < min(d[stage], space.max_depth):
+                r += ks[bi] // 2              # encoder depthwise
+            bi += 1
+    r += 3 * (conv_ks // 2)                   # enc_final convs
+    r += receptive_field_radius(cfg, space, conv_ks)  # decoder side
+    return r * sc  # LR-unit radius -> HR pixels (a multiple of sc by form)
+
+
 def _positions(extent, t):
     """Output-tile start positions covering [0, extent): stride t, with the
     last tile flush against the end (overlap re-computes identical pixels)."""

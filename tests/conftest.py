@@ -40,6 +40,7 @@ _SLOW_MODULES = {
     "test_tiled_infer",
     "test_net_config",
     "test_materialize_cls",
+    "test_autoencoder_infer",
     "test_expand_switch",
     "test_ks_switch",
 }

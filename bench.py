@@ -176,6 +176,30 @@ def main():
             "vs_bf16_sol": round((e_flops / (e_best / 1000))
                                  / PEAK_FLOPS["bf16"], 4),
         }
+        # serving dtype: the same folded subnet with bf16 weights +
+        # activations (output cast back to f32) — the AOT-export serving
+        # configuration (VERDICT r2 item 10)
+        sub16 = get_active_subnet(net, params, state, sub_cfg)
+        sub16.params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), sub16.params)
+        j16 = jax.jit(lambda v: sub16(v).astype(jnp.float32))
+        xf16 = xf.astype(jnp.bfloat16)
+        y = j16(xf16)
+        _ = float(np.asarray(jnp.sum(y)))
+        frame_ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                y = j16(xf16)
+            _ = float(np.asarray(jnp.sum(y)))
+            frame_ms.append((time.perf_counter() - t0) / 8 * 1000)
+        b_best = min(frame_ms)
+        eval_detail["bf16"] = {
+            "frame_ms_best": round(b_best, 3),
+            "frames_per_sec": round(1000 / b_best, 2),
+            "vs_bf16_sol": round((e_flops / (b_best / 1000))
+                                 / PEAK_FLOPS["bf16"], 4),
+        }
     except Exception as e:  # eval bench is auxiliary — never sink the bench
         eval_detail = {"error": f"{type(e).__name__}: {e}"[:160]}
 

@@ -57,6 +57,11 @@ def build_args(argv=None):
     p.add_argument("--phase", type=int, default=2, choices=[1, 2])
     p.add_argument("--warmstart", type=str, default=None,
                    help="checkpoint dir/file of the previous task's best")
+    p.add_argument("--reference_quirks", action="store_true",
+                   help="train the architectures the reference *actually "
+                        "executes* (its runtime_depth indexing quirks, "
+                        "models/arch.reference_quirk_arch_*) — for exact "
+                        "side-by-side runs against the torch reference")
     p.add_argument("--mode", type=str, default="sr",
                    choices=["sr", "autoencoder"],
                    help="sr: decoder-only on bicubic LR (the README config); "
@@ -96,7 +101,8 @@ def main(argv=None):
         print_frequency=args.print_frequency, kd_ratio=args.kd_ratio,
         manual_seed=args.manual_seed, mode=args.mode,
         bn_momentum=args.bn_momentum, bn_eps=args.bn_eps,
-        image_size=args.image_size)
+        image_size=args.image_size,
+        reference_quirks=args.reference_quirks)
     rm = SRRunManager(args.path, net, cfg, provider)
 
     # eval grid pinned to min/max of each dimension

@@ -23,6 +23,15 @@ def build_args(argv=None):
     add_common_args(p, path="exp/sr/teacher", n_epochs=100, base_lr=1e-3,
                     warmup_epochs=5)
     p.add_argument("--ks", type=int, default=5)
+    p.add_argument("--warmstart", type=str, default=None,
+                   help="checkpoint dir/file to warm-start weights from")
+    p.add_argument("--bn_mode", type=str, default="frozen",
+                   choices=["frozen", "train"],
+                   help="'frozen' mirrors the reference teacher exactly: "
+                        "SRRunManager.train_one_epoch forces every BN to "
+                        "eval() (sr_run_manager.py:416-423), so the teacher "
+                        "trains with init running stats. 'train' updates BN "
+                        "statistics normally.")
     p.add_argument("--expand", type=int, default=3)
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--pixel_d", type=int, default=1)
@@ -48,8 +57,11 @@ def main(argv=None):
         validation_frequency=args.validation_frequency,
         print_frequency=args.print_frequency,
         manual_seed=args.manual_seed, bn_momentum=args.bn_momentum,
-        bn_eps=args.bn_eps, image_size=args.image_size)
+        bn_eps=args.bn_eps, image_size=args.image_size,
+        bn_frozen=args.bn_mode == "frozen")
     rm = SRRunManager(args.path, net, cfg, provider)
+    if args.warmstart:
+        rm.load_weights(args.warmstart)
     rm.load_model()  # resume if a checkpoint exists
     best = rm.train()
     rm.write_log("teacher done: best psnr %.3f" % best, "valid")

@@ -295,10 +295,63 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
     return y, new_s
 
 
+def _masked_mbconv_apply_s2d(p, s, x4, space: SearchSpace, ks_idx, mid, *,
+                             act="relu6", training=False, bn_cfg=None,
+                             remat_pair=False):
+    """The masked MBConv executed in space-to-depth layout (ops/s2d.py):
+    x4 is (B,H/2,W/2,4*width) phase-major. Window-exact vs
+    _masked_mbconv_apply on un_s2d(x4): block-diagonal 1x1s (4x-deep
+    contraction for the MXU), phase-pair depthwise (same MACs), and BN
+    moments over phases-folded-to-spatial (identical value set, identical
+    (C,)-state threading). Elastic ks via the same window-masked candidate
+    select; elastic width via the phase-tiled channel mask."""
+    from ..ops.s2d import (block_diag_1x1, depthwise_s2d, merge_phases,
+                           split_phases)
+    bn_cfg = bn_cfg or {}
+    max_mid = p["depth_conv"]["conv"]["w"].shape[-1]
+    mask = channel_mask(mid, max_mid, x4.dtype)
+    new_s = {}
+
+    def bn_merged(y4, c, bn_p, bn_s, m):
+        ym = merge_phases(y4, c)
+        ym, ns = batch_norm(ym, bn_p, bn_s, training=training, mask=m,
+                            **bn_cfg)
+        return split_phases(ym, c), ns
+
+    def expand_and_depthwise(xx):
+        y = conv2d(xx, block_diag_1x1(p["inverted_bottleneck"]["conv"]["w"]))
+        y, bn_ib = bn_merged(y, max_mid, p["inverted_bottleneck"]["bn"],
+                             s["inverted_bottleneck"]["bn"], mask)
+        y = apply_act(y, act)
+        use_t = "kt" in p["depth_conv"]
+        cands = kernel_candidates(p["depth_conv"]["conv"]["w"],
+                                  p["depth_conv"].get("kt"), space.ks_list,
+                                  use_transform=use_t)
+        w_dw = select_kernel(cands, ks_idx)
+        y = depthwise_s2d(y, w_dw)
+        y, bn_dw = bn_merged(y, max_mid, p["depth_conv"]["bn"],
+                             s["depth_conv"]["bn"], mask)
+        y = apply_act(y, act)
+        return y, (bn_ib, bn_dw)
+
+    pair_fn = jax.checkpoint(expand_and_depthwise) if remat_pair \
+        else expand_and_depthwise
+    y, (bn_ib, bn_dw) = pair_fn(x4)
+    new_s["inverted_bottleneck"] = {"bn": bn_ib}
+    new_s["depth_conv"] = {"bn": bn_dw}
+
+    y = conv2d(y, block_diag_1x1(p["point_linear"]["conv"]["w"]))
+    out_c = p["point_linear"]["conv"]["w"].shape[-1]
+    y, bn_pl = bn_merged(y, out_c, p["point_linear"]["bn"],
+                         s["point_linear"]["bn"], None)
+    new_s["point_linear"] = {"bn": bn_pl}
+    return y, new_s
+
+
 def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
                          bn_cfg=None, remat=False, expand_switch=False,
-                         spatial_mask=None, ks_switch=False):
+                         spatial_mask=None, ks_switch=False, s2d=False):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -310,13 +363,22 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     Skipped blocks' params get zero gradient and their BN states pass
     through untouched, matching the reference exactly.
     """
-    def plain_block_fn(bp, bs, xx, k_i, m_i):
-        return mbconv_apply(bp, bs, xx, space, k_i, m_i,
-                            act=act, training=training, bn_cfg=bn_cfg,
-                            expand_switch=expand_switch,
-                            spatial_mask=spatial_mask,
-                            remat_pair=(remat == "pair"),
-                            ks_switch=ks_switch)
+    if s2d:
+        assert not (expand_switch or ks_switch or spatial_mask is not None), \
+            "s2d composes with masked execution only"
+
+        def plain_block_fn(bp, bs, xx, k_i, m_i):
+            return _masked_mbconv_apply_s2d(
+                bp, bs, xx, space, k_i, m_i, act=act, training=training,
+                bn_cfg=bn_cfg, remat_pair=(remat == "pair"))
+    else:
+        def plain_block_fn(bp, bs, xx, k_i, m_i):
+            return mbconv_apply(bp, bs, xx, space, k_i, m_i,
+                                act=act, training=training, bn_cfg=bn_cfg,
+                                expand_switch=expand_switch,
+                                spatial_mask=spatial_mask,
+                                remat_pair=(remat == "pair"),
+                                ks_switch=ks_switch)
 
     # rematerialize block activations in the backward pass. Modes:
     #   False          — keep everything (full residuals x 16 blocks exceed

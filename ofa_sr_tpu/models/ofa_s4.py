@@ -134,6 +134,14 @@ class OFAMobileNetS4:
 
         dec_big_skip = x
 
+        # s2d trunk execution (ops/s2d.py): one relayout in, one out — the
+        # residual adds and all block math run in the (H/2, W/2, 4C) layout
+        use_s2d = (getattr(self, 's2d', False) and smask is None
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            from ..ops.s2d import s2d as to_s2d, un_s2d
+            x = to_s2d(x)
+
         blocks_new_s = []
         d_max = sp.max_depth
         for stage in range(sp.n_stages):
@@ -144,9 +152,11 @@ class OFAMobileNetS4:
                 act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
                 expand_switch=getattr(self, 'expand_switch', False),
                 ks_switch=getattr(self, 'ks_switch', False),
-                spatial_mask=smask)
+                spatial_mask=smask, s2d=use_s2d)
             blocks_new_s.extend(stage_s)
         new_s["blocks"] = blocks_new_s
+        if use_s2d:
+            x = un_s2d(x)
         x = masked(x, smask)  # point-linear BN bias leaked into the pad
 
         fin_s = []

@@ -97,6 +97,9 @@ class RunConfig:
     # only its own k x k taps instead of the window-masked 7x7 (exact;
     # ~3x compile). See SRTrainer.ks_switch.
     ks_switch: bool = False
+    # execute the trunk in space-to-depth layout (4x-deep MXU-shaped 1x1
+    # contractions, exact; ops/s2d.py). S4 only.
+    s2d: bool = False
 
     @property
     def config(self):
@@ -172,7 +175,8 @@ class SRRunManager:
                 kd_ratio=run_config.kd_ratio, mode=run_config.mode,
                 bn_frozen=run_config.bn_frozen, teacher_net=t_net,
                 compute_dtype=_compute_dtype_of(run_config),
-                remat=run_config.remat, ks_switch=run_config.ks_switch)
+                remat=run_config.remat, ks_switch=run_config.ks_switch,
+                s2d=run_config.s2d)
         else:
             self.trainer = SRTrainer(
                 net, opt_type=run_config.opt_type,
@@ -180,7 +184,8 @@ class SRRunManager:
                 momentum=run_config.momentum, nesterov=run_config.nesterov,
                 mode=run_config.mode, bn_frozen=run_config.bn_frozen,
                 compute_dtype=_compute_dtype_of(run_config),
-                remat=run_config.remat, ks_switch=run_config.ks_switch)
+                remat=run_config.remat, ks_switch=run_config.ks_switch,
+                s2d=run_config.s2d)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)

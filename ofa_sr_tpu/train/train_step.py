@@ -64,7 +64,7 @@ class SRTrainer:
                  momentum=0.9, nesterov=True, kd_ratio=0.0,
                  mode: str = "sr", bn_frozen: bool = False,
                  teacher_net=None, compute_dtype=None, remat=None,
-                 expand_switch=False, ks_switch=False):
+                 expand_switch=False, ks_switch=False, s2d=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -97,6 +97,10 @@ class SRTrainer:
         # r2 HW profile measured depthwise VPU time as a dominant step
         # cost). Exact vs masking; ~3x branch count in compile.
         net.ks_switch = ks_switch
+        # s2d: execute the trunk in space-to-depth layout — block-diagonal
+        # 4x-deep 1x1 contractions for the MXU, exact (ops/s2d.py). S4 only;
+        # decision probe: exp/perf_s2d_probe.py.
+        net.s2d = s2d
         self._tx = None
 
     # -- optimizer ------------------------------------------------------------

@@ -37,6 +37,10 @@ VARIANTS = {
     # ks_switch: sampled ks executes only its own k x k depthwise taps
     "f32-rematall-ks": ("f32", "all", True),
     "bf16-rematall-ks": ("bf16", "all", True),
+    # s2d: trunk in space-to-depth layout (ops/s2d.py)
+    "f32-rematallbn-s2d": ("f32", "all_save_bn", False, True),
+    "bf16-rematallbn-s2d": ("bf16", "all_save_bn", False, True),
+    "bf16-rematall-s2d": ("bf16", "all", False, True),
 }
 
 
@@ -76,7 +80,8 @@ def main():
         dtype = jnp.bfloat16 if cd == "bf16" else None
         trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
                             compute_dtype=dtype, remat=remat,
-                            ks_switch=bool(rest and rest[0]))
+                            ks_switch=bool(rest and rest[0]),
+                            s2d=bool(len(rest) > 1 and rest[1]))
         opt_state = trainer.init_opt_state(params)
         step = trainer.make_scan_train_step(n_subnets=1, donate=False)
         try:

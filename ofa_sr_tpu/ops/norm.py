@@ -22,7 +22,22 @@ State layout: params {'scale','bias'}, state {'mean','var'} — all (C,).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+
+def _pallas_bn_mode():
+    """'hw' | 'interpret' | None — resolved once per process. Opt-in via
+    OFA_SR_TPU_PALLAS_BN=1 (real TPU) or =interpret (CPU tests)."""
+    v = os.environ.get("OFA_SR_TPU_PALLAS_BN", "")
+    if v == "interpret":
+        return "interpret"
+    if v == "1":
+        import jax
+        if jax.devices()[0].platform == "tpu":
+            return "hw"
+    return None
 
 
 def bn_init(channels, dtype=jnp.float32):
@@ -57,6 +72,27 @@ def batch_norm(x, params, state, *, training, momentum=0.1, eps=1e-5,
     are updated.
     """
     scale, bias = params["scale"], params["bias"]
+    pallas_mode = _pallas_bn_mode() if training else None
+    if pallas_mode is not None and x.shape[-1] % 64 == 0 and x.ndim == 4:
+        # fused path: moments + backward reductions in one-pass Pallas
+        # kernels, elementwise normalize/dx left to XLA fusion
+        # (ops/pallas/bn.py); float-tolerance equal to the branch below
+        from .pallas.bn import bn_train_fused
+        from jax.ad_checkpoint import checkpoint_name
+        y, mean, var = bn_train_fused(x, scale, bias, eps,
+                                      pallas_mode == "interpret")
+        mean = checkpoint_name(mean, "bn_moments")
+        var = checkpoint_name(var, "bn_moments")
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        var_for_update = var * (n / max(n - 1, 1)) \
+            if update_var == "unbiased" else var
+        new_mean = (1 - momentum) * state["mean"] + momentum * mean
+        new_var = (1 - momentum) * state["var"] + momentum * var_for_update
+        if mask is not None:
+            new_mean = jnp.where(mask > 0, new_mean, state["mean"])
+            new_var = jnp.where(mask > 0, new_var, state["var"])
+            y = y * mask.astype(y.dtype)
+        return y, {"mean": new_mean, "var": new_var}
     # statistics and normalization always in f32 — under bf16 mixed
     # precision the moments would otherwise lose mantissa badly
     in_dtype = x.dtype

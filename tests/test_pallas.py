@@ -119,3 +119,106 @@ def test_materialized_subnet_pallas_tail_fallback():
     y1 = get_active_subnet(net, p, s, cfg)(x)
     y2 = get_active_subnet(net, p, s, cfg, use_pallas=True)(x)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+# ---------------------------------------------------------------------------
+# Pallas BN statistics (ops/pallas/bn_stats.py, ops/pallas/bn.py)
+# ---------------------------------------------------------------------------
+
+def test_bn_moments_pallas_matches_xla():
+    from ofa_sr_tpu.ops.norm import batch_moments
+    from ofa_sr_tpu.ops.pallas.bn_stats import bn_moments_pallas
+    rng = np.random.RandomState(0)
+    for shape in [(16, 12, 12, 64), (2, 7, 5, 64), (3, 9, 9, 256),
+                  (2, 6, 6, 384)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        m0, v0 = batch_moments(x)
+        m1, v1 = bn_moments_pallas(x, interpret=True)
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_bn_train_fused_forward_and_grads_match():
+    """bn_train_fused == the XLA training branch of batch_norm: outputs and
+    gradients wrt (x, scale, bias), including the lane-folded C=64 case."""
+    from ofa_sr_tpu.ops.norm import batch_norm, bn_init
+    from ofa_sr_tpu.ops.pallas.bn import bn_train_fused
+    rng = np.random.RandomState(1)
+    for c in (64, 256):
+        x = jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32))
+        params, state = bn_init(c)
+        params = {"scale": params["scale"] * 1.3 + 0.1,
+                  "bias": params["bias"] + 0.2}
+
+        def loss_xla(x, sc, bi):
+            y, _ = batch_norm(x, {"scale": sc, "bias": bi}, state,
+                              training=True)
+            return jnp.sum(y * y)
+
+        def loss_pl(x, sc, bi):
+            y, m, v = bn_train_fused(x, sc, bi, 1e-5, True)
+            return jnp.sum(y * y)
+
+        a0 = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
+            x, params["scale"], params["bias"])
+        a1 = jax.value_and_grad(loss_pl, argnums=(0, 1, 2))(
+            x, params["scale"], params["bias"])
+        np.testing.assert_allclose(a0[0], a1[0], rtol=1e-5)
+        for g0, g1 in zip(a0[1], a1[1]):
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_batch_norm_pallas_env_path(monkeypatch):
+    """batch_norm with OFA_SR_TPU_PALLAS_BN=interpret matches the default
+    path: output, updated state, masked channels."""
+    from ofa_sr_tpu.ops import norm
+    rng = np.random.RandomState(2)
+    c = 64
+    x = jnp.asarray(rng.randn(2, 6, 6, c).astype(np.float32))
+    params, state = norm.bn_init(c)
+    mask = jnp.asarray((np.arange(c) < 40).astype(np.float32))
+    y0, s0 = norm.batch_norm(x, params, state, training=True, mask=mask)
+    monkeypatch.setenv("OFA_SR_TPU_PALLAS_BN", "interpret")
+    y1, s1 = norm.batch_norm(x, params, state, training=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(s0[k]), np.asarray(s1[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_step_with_pallas_bn(monkeypatch):
+    """A full SRTrainer step under remat='all_save_bn' with the Pallas BN
+    path (interpret) matches the XLA path: loss and updated params."""
+    from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace, sample_subnet
+    from ofa_sr_tpu.train import SRTrainer
+    space = SearchSpace(ks_list=[3, 5], expand_list=[2, 3], depth_list=[1, 2],
+                        pixel_d_list=[1], n_stages=2, width=8)
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32),
+        "x2": jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32),
+        "x4": jnp.asarray(rng.rand(2, 4, 4, 3), jnp.float32),
+    }
+    arch = (sample_subnet(space, seed=3).to_device(space),)
+    res = []
+    for env in ("", "interpret"):
+        monkeypatch.setenv("OFA_SR_TPU_PALLAS_BN", env)
+        tr = SRTrainer(OFAMobileNetS4(space), opt_type="sgd",
+                       weight_decay=0.0, remat="all_save_bn")
+        opt = tr.init_opt_state(p)
+        step = tr.make_train_step(n_subnets=1, donate=False)
+        p1, s1, _, m = step(p, s, opt, batch, arch, jnp.asarray(1e-2))
+        res.append((p1, s1, float(m["loss"])))
+    assert abs(res[0][2] - res[1][2]) < 1e-6
+    for a, b in zip(jax.tree.leaves(res[0][0]), jax.tree.leaves(res[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(res[0][1]), jax.tree.leaves(res[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

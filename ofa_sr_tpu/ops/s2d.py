@@ -24,6 +24,19 @@ that layout:
 Everything is window-exact vs the masked full-resolution execution (same
 dot products, different association), opt-in via SRTrainer(s2d=True) /
 --s2d. Requires even H and W (the bench envelope's LR 48x48 qualifies).
+
+MEASURED NEGATIVE RESULT (v5e, 2026-08-17, healthy chip, scan-amortized
+value-fetch timing — exp/perf_step_variants.py *-s2d):
+  - op micro-probe (exp/perf_s2d_probe.py): the wide 1x1 reaches 21.3 vs
+    5.7 TF/s bf16 — a 3.75x utilization gain, almost exactly cancelled by
+    the 4x block-diagonal FLOPs (0.68 vs 0.64 ms): a wash, as the >4x
+    speedup condition in the module design predicted.
+  - full train step (bs16/96px, remat=all_save_bn): bf16 39.1 ms vs
+    36.3 ms masked; f32 354 ms vs 39.4 ms (the 16 phase-pair depthwise
+    convs lower terribly in f32, and their backward worse).
+The masked full-resolution execution stays the production path; s2d is
+kept as an equivalence-tested execution mode and as the measured answer
+to "widen the 64-channel convs via space-to-depth" (VERDICT r2 item 2).
 """
 
 from __future__ import annotations

@@ -91,11 +91,14 @@ def main():
     space = SearchSpace()
     net = OFAMobileNetS4(space)
     params, state = net.init(jax.random.PRNGKey(0))
-    # remat='all_save_bn' measured fastest f32 mode on HW
-    # (exp/perf_step_variants.py r2: 38.6 ms/step vs 40.1 'all' vs 86.8
-    # alternating, same session; BN moments saved across the checkpoint)
+    # bf16 compute + remat='all_save_bn' is the measured-fastest training
+    # config on HW (exp/perf_step_variants.py, r3 session: bf16-allbn 36.3
+    # vs f32-allbn 39.4 ms/step, losses bit-identical across variants;
+    # compile no slower through the relay, 284 vs 312 s). f32 master
+    # params, BN statistics, loss and PSNR stay f32 (train_step.py
+    # cast_params_for_compute).
     trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
-                        remat="all_save_bn")
+                        compute_dtype=jnp.bfloat16, remat="all_save_bn")
     opt_state = trainer.init_opt_state(params)
 
     bs, hr = 16, 96
@@ -124,20 +127,33 @@ def main():
     p, s, o, m = scan_step(p, s, o, batches, stacked, lrs)
     warm_loss = float(np.asarray(m["loss"]))
 
-    # timed windows, value-fetch terminated
-    calls_per_window, n_windows = 4, 5
-    window_ms = []
-    for _ in range(n_windows):
+    # timed windows, value-fetch terminated. A window of k chained
+    # dispatches costs c0 + k*n_inner*step with c0 = dispatch RTT + fetch
+    # transfer; the slope between two window sizes cancels c0 (r3
+    # methodology: +RTT/n bias — an empty body "measures" RTT/n).
+    def window(k):
+        nonlocal p, s, o
         t0 = time.perf_counter()
-        for _ in range(calls_per_window):
+        for _ in range(k):
             p, s, o, m = scan_step(p, s, o, batches, stacked, lrs)
         _ = float(np.asarray(jnp.sum(jax.tree.leaves(p)[0])))
         _ = float(np.asarray(m["loss"]))
-        window_ms.append((time.perf_counter() - t0) * 1000
-                         / (calls_per_window * n_inner))
+        return (time.perf_counter() - t0) * 1000
+
+    k_small, k_big, n_windows = 2, 6, 3
+    slopes, window_ms = [], []
+    for _ in range(n_windows):
+        t_small = window(k_small)
+        t_big = window(k_big)
+        slopes.append((t_big - t_small) / ((k_big - k_small) * n_inner))
+        # raw per-step wall of the big window (upper bound, incl. c0)
+        window_ms.append(t_big / (k_big * n_inner))
+    slopes.sort()
     window_ms.sort()
-    best_ms = window_ms[0]
-    median_ms = window_ms[len(window_ms) // 2]
+    # a chip-state shift mid-window can corrupt a slope; fall back to the
+    # raw (upper-bound) window wall if the slope is implausible
+    best_ms = slopes[0] if slopes[0] > 0.2 * window_ms[0] else window_ms[0]
+    median_ms = slopes[len(slopes) // 2]
     rtt = dispatch_rtt_ms(jax, jnp)
     peak_probe = probed_matmul_tflops(jax, jnp)
 
@@ -150,27 +166,49 @@ def main():
     eval_detail = {}
     try:
         sub_cfg = uniform_subnet(space, 7, 6, 2, 2)
-        subnet = jax.jit(get_active_subnet(net, params, state, sub_cfg))
         lr_hw = (184, 320)  # 180 rounded up to sublane-friendly 184
+
+        def frame_ms_scan(sub_fn, x):
+            """ms/frame of a materialized subnet: frames chained inside one
+            lax.scan dispatch (per-dispatch relay RTT would otherwise
+            dominate an ~ms frame), with the carry folded into the input
+            so XLA cannot hoist the net out of the scan; slope-timed
+            between two scan lengths to cancel dispatch+fetch."""
+            def runner(n):
+                @jax.jit
+                def run():
+                    def body(c, _):
+                        y = sub_fn(x + c.astype(x.dtype))
+                        return jnp.max(jnp.abs(y)).astype(jnp.float32) * 1e-30, None
+                    out, _ = jax.lax.scan(
+                        body, jnp.zeros((), jnp.float32), None, length=n)
+                    return out
+                return run
+
+            walls = {}
+            for n in (8, 24):
+                run = runner(n)
+                _ = float(np.asarray(run()))
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _ = float(np.asarray(run()))
+                    best = min(best, time.perf_counter() - t0)
+                walls[n] = best
+            return (walls[24] - walls[8]) / 16 * 1000
+
+        subnet = get_active_subnet(net, params, state, sub_cfg)
         xf = jnp.asarray(np.random.RandomState(1).rand(1, *lr_hw, 3),
                          jnp.float32)
-        y = subnet(xf)
-        _ = float(np.asarray(jnp.sum(y)))
-        frame_ms = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(8):
-                y = subnet(xf)
-            _ = float(np.asarray(jnp.sum(y)))
-            frame_ms.append((time.perf_counter() - t0) / 8 * 1000)
-        e_best = min(frame_ms)
+        e_best = frame_ms_scan(subnet, xf)
         from ofa_sr_tpu.search.flops import s4_subnet_flops
         e_macs = s4_subnet_flops(sub_cfg, space,
                                  hr_size=(lr_hw[0] * 4, lr_hw[1] * 4))
         e_flops = 2 * float(e_macs)
         eval_detail = {
             "envelope": "materialized ks7/e6/d2/pd2 subnet, 720p frame "
-                        "(LR 320x184), bs=1",
+                        "(LR 320x184), bs=1, frames scan-chained in-device, "
+                        "slope-timed",
             "frame_ms_best": round(e_best, 3),
             "frames_per_sec": round(1000 / e_best, 2),
             "vs_bf16_sol": round((e_flops / (e_best / 1000))
@@ -180,20 +218,12 @@ def main():
         # activations (output cast back to f32) — the AOT-export serving
         # configuration (VERDICT r2 item 10)
         sub16 = get_active_subnet(net, params, state, sub_cfg)
+        # params carry python-int metadata leaves (ks/mid): cast arrays only
         sub16.params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16), sub16.params)
-        j16 = jax.jit(lambda v: sub16(v).astype(jnp.float32))
-        xf16 = xf.astype(jnp.bfloat16)
-        y = j16(xf16)
-        _ = float(np.asarray(jnp.sum(y)))
-        frame_ms = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(8):
-                y = j16(xf16)
-            _ = float(np.asarray(jnp.sum(y)))
-            frame_ms.append((time.perf_counter() - t0) / 8 * 1000)
-        b_best = min(frame_ms)
+            lambda a: a.astype(jnp.bfloat16) if hasattr(a, "astype") else a,
+            sub16.params)
+        b_best = frame_ms_scan(lambda v: sub16(v).astype(jnp.float32),
+                               xf.astype(jnp.bfloat16))
         eval_detail["bf16"] = {
             "frame_ms_best": round(b_best, 3),
             "frames_per_sec": round(1000 / b_best, 2),
@@ -201,7 +231,8 @@ def main():
                                  / PEAK_FLOPS["bf16"], 4),
         }
     except Exception as e:  # eval bench is auxiliary — never sink the bench
-        eval_detail = {"error": f"{type(e).__name__}: {e}"[:160]}
+        eval_detail = dict(eval_detail)  # keep whatever finished
+        eval_detail["error"] = f"{type(e).__name__}: {e}"[:160]
 
     imgs_per_sec = bs / (best_ms / 1000)
     # masked execution pays max kernel/expand inside each *executed* block;
@@ -225,7 +256,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / sol_imgs_per_sec, 4),
         "detail": {
             "envelope": "bs16 96px DIV2K supernet step, 1 subnet/step, "
-                        "f32 remat=all_save_bn, device-side scan of %d "
+                        "bf16 compute (f32 master/BN/loss), "
+                        "remat=all_save_bn, device-side scan of %d "
                         "steps/dispatch" % n_inner,
             "step_ms_best": round(best_ms, 3),
             "step_ms_median": round(median_ms, 3),

@@ -1,0 +1,503 @@
+"""Full-curriculum convergence run with the torch reference as the oracle
+(VERDICT r2 item 4).
+
+Executes the reference's complete SR curriculum end-to-end through the real
+CLIs on a generated PNG image tree — teacher
+(cli/train_teacher_net_sr_simple) -> supernet kernel -> depth -> expand ->
+pixelshuffle_depth (cli/train_ofa_net_sr_simple, warm-start chained the way
+/root/reference/train_ofa_net_sr_simple.py:236-255 chains its tasks) — and
+runs the live torch reference (its OFAMobileNetS4/X4 modules, its seed
+contract progressive_shrinking.py:161-165, its BN/optimizer semantics) on
+the *identical* data stream from the *identical* init, then compares the
+per-phase validation-grid PSNRs.
+
+Scaled down (tiny patches / few epochs) to fit this container; every
+mechanism of the full curriculum executes: warm-start key remapping, stage
+JSONs, set_constraint shrink walks, channel reorganization before expand
+stages, the quirk architectures the reference actually trains
+(--reference_quirks), BN-frozen teacher training, grid validation.
+
+Run: python exp/curriculum.py --out /tmp/ofa_curriculum [--scale tiny]
+Writes <out>/report.json with per-phase {jax, torch, delta} PSNRs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import random
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # script lives in exp/; make the package importable
+    sys.path.insert(0, REPO)
+REF = "/root/reference"
+SEED = 0
+TORCH_INIT_SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# synthetic image tree (SR-learnable: smooth textures + hard edges)
+# ---------------------------------------------------------------------------
+
+def gen_tree(root, n_train=32, n_val=4, size=64, seed=0):
+    from PIL import Image, ImageDraw
+    rng = np.random.RandomState(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        d = os.path.join(root, split)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            # low-pass texture: tiny noise bicubically upscaled
+            base = rng.rand(size // 8, size // 8, 3) * 255
+            img = Image.fromarray(base.astype(np.uint8)).resize(
+                (size, size), Image.BICUBIC)
+            draw = ImageDraw.Draw(img)
+            for _ in range(4):  # hard edges make SR non-trivial
+                x0, y0 = rng.randint(0, size - 8, 2)
+                w, h = rng.randint(4, size // 2, 2)
+                col = tuple(int(c) for c in rng.randint(0, 255, 3))
+                if rng.rand() < 0.5:
+                    draw.rectangle([x0, y0, min(x0 + w, size - 1),
+                                    min(y0 + h, size - 1)], outline=col,
+                                   width=rng.randint(1, 3))
+                else:
+                    draw.line([x0, y0, min(x0 + w, size - 1),
+                               min(y0 + h, size - 1)], fill=col,
+                              width=rng.randint(1, 3))
+            img.save(os.path.join(d, "img_%04d.png" % i))
+
+
+# ---------------------------------------------------------------------------
+# shared schedule/metric helpers (both sides use the same)
+# ---------------------------------------------------------------------------
+
+def phase_table(a):
+    """The curriculum, scaled. Space lists come from the CLI's own
+    TASK_PHASES table (so the driver and the CLIs can never disagree);
+    epochs/LR are the scaled-down knobs. Phase 2 of depth/expand walks both
+    shrink stages in one invocation (the stage JSON machine), which covers
+    the reference's phase1+phase2 split; the pixelshuffle phase pins
+    k7/e6/d4 like the reference (train_ofa_net_sr_simple.py:81-91)."""
+    from ofa_sr_tpu.cli.train_ofa_net_sr_simple import TASK_PHASES
+    out = []
+    for task, phase, dyn_bs in (("kernel", 1, 1), ("depth", 2, 2),
+                                ("expand", 2, 2),
+                                ("pixelshuffle_depth", 1, 1)):
+        preset = TASK_PHASES[(task, phase)]
+        out.append((task, dict(
+            phase=phase,
+            ks_list=preset["ks_list"], expand_list=preset["expand_list"],
+            depth_list=preset["depth_list"],
+            pixel_d_list=preset["pixel_d_list"],
+            n_epochs=a.phase_epochs, base_lr=a.phase_lr,
+            dynamic_batch_size=dyn_bs)))
+    return out
+
+
+def grid_corners(spec):
+    """min/max corners per dimension (train_ofa_net_sr_simple.py:227-232)."""
+    mm = lambda v: sorted({min(v), max(v)})
+    out = []
+    for pd in sorted(spec["pixel_d_list"]):
+        for d in mm(spec["depth_list"]):
+            for e in mm(spec["expand_list"]):
+                for k in mm(spec["ks_list"]):
+                    out.append((k, e, d, pd))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jax side: the real CLIs
+# ---------------------------------------------------------------------------
+
+def jax_common(a):
+    return ["--data_root", a.data_root, "--image_size", str(a.crop),
+            "--base_batch_size", str(a.bs), "--n_worker", "2",
+            "--manual_seed", str(SEED), "--print_frequency", "1000",
+            "--validation_frequency", "1000000"]
+
+
+def save_init_checkpoint(torch_sd, which, net, out_dir):
+    """Write the torch init as one of our checkpoints so the jax CLIs start
+    from the identical parameters (the load_weights_from_net interop path,
+    train/checkpoint.import_torch_*)."""
+    from ofa_sr_tpu.train.checkpoint import (import_torch_s4,
+                                             import_torch_x4,
+                                             save_checkpoint)
+    from ofa_sr_tpu.train.train_step import SRTrainer
+    imp = import_torch_s4 if which == "s4" else import_torch_x4
+    params, state = imp(torch_sd, net)
+    opt_state = SRTrainer(net, opt_type="adam",
+                          weight_decay=3e-5).init_opt_state(params)
+    save_checkpoint(out_dir, {"epoch": 0, "best_acc": -1e9, "params": params,
+                              "state": state, "opt_state": opt_state})
+    return out_dir
+
+
+def run_jax_curriculum(a, torch_inits):
+    from ofa_sr_tpu.cli import train_ofa_net_sr_simple, train_teacher_net_sr_simple
+    from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
+
+    results = {}
+    # ---- teacher (S4 2x, BN frozen — the reference teacher semantics) ----
+    t_space = SearchSpace(ks_list=[5], expand_list=[3], depth_list=[2],
+                          pixel_d_list=[1])
+    t_init = save_init_checkpoint(torch_inits["teacher"], "s4",
+                                  OFAMobileNetS4(t_space),
+                                  os.path.join(a.out, "init_teacher"))
+    t_path = os.path.join(a.out, "jax", "teacher")
+    best = train_teacher_net_sr_simple.main(
+        jax_common(a) + ["--path", t_path, "--n_epochs", str(a.teacher_epochs),
+                         "--base_lr", str(a.teacher_lr), "--warmup_epochs",
+                         "0", "--warmstart", t_init])
+    results["teacher"] = grid_eval_jax(a, "teacher", t_path)
+
+    # ---- supernet phases, warm-start chained --------------------------------
+    x_space = SearchSpace()  # full maxima: bank shapes shared by all phases
+    x_init = save_init_checkpoint(torch_inits["supernet"], "x4",
+                                  OFAMobileNetX4(x_space),
+                                  os.path.join(a.out, "init_supernet"))
+    prev = x_init
+    for task, spec in phase_table(a):
+        path = os.path.join(a.out, "jax", task)
+        argv = jax_common(a) + [
+            "--task", task, "--phase", str(spec["phase"]), "--path", path,
+            "--warmstart", prev, "--reference_quirks",
+            "--n_epochs", str(spec["n_epochs"]),
+            "--base_lr", str(spec["base_lr"]), "--warmup_epochs", "0",
+            "--dynamic_batch_size", str(spec["dynamic_batch_size"])]
+        train_ofa_net_sr_simple.main(argv)
+        results[task] = grid_eval_jax(a, task, path)
+        prev = os.path.join(path, "checkpoint")
+    return results
+
+
+def grid_eval_jax(a, task, path):
+    """Validation-grid PSNRs of a finished jax phase, evaluated on the
+    *as-executed* (quirk) architectures so torch and jax score the same
+    nets."""
+    import jax
+    from ofa_sr_tpu.data import Div2KSetXXProvider
+    from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
+    from ofa_sr_tpu.models.arch import (reference_quirk_arch_x4,
+                                        uniform_subnet)
+    from ofa_sr_tpu.train import RunConfig, SRRunManager
+
+    if task == "teacher":
+        space = SearchSpace(ks_list=[5], expand_list=[3], depth_list=[2],
+                            pixel_d_list=[1])
+        net = OFAMobileNetS4(space)
+        corners = [(5, 3, 2, 1)]
+    else:
+        spec = dict(phase_table(a))[task]
+        # the phase's own space (its checkpoint may lack e.g. the kernel-
+        # transform matrices a larger space would have)
+        space = SearchSpace(ks_list=spec["ks_list"],
+                            expand_list=spec["expand_list"],
+                            depth_list=spec["depth_list"],
+                            pixel_d_list=spec["pixel_d_list"])
+        net = OFAMobileNetX4(space)
+        corners = grid_corners(spec)
+    provider = Div2KSetXXProvider(root=a.data_root, image_size=a.crop,
+                                  train_batch_size=a.bs, num_workers=2)
+    rm = SRRunManager(os.path.join(a.out, "jax_eval", task), net,
+                      RunConfig(image_size=a.crop, manual_seed=SEED), provider)
+    rm.load_weights(os.path.join(path, "checkpoint"))
+    out = {}
+    for (k, e, d, pd) in corners:
+        cfg = uniform_subnet(space, k, e, d, pd, n_trunks=net.n_trunks)
+        if task != "teacher":
+            cfg = reference_quirk_arch_x4(cfg)
+        _, psnr = rm.validate(cfg)
+        out["K%d-E%d-D%d-PD%d" % (k, e, d, pd)] = round(psnr, 3)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch side: the live reference modules, faithful trainer loop
+# ---------------------------------------------------------------------------
+
+def _sr_mode_forward(self, x):
+    """ofa_mbx4.py forward with the SR comment-toggle applied (lines 186-218
+    removed, decoder lines 219-246 kept — the config behind the README
+    numbers); same patch as tests/test_train_parity.py."""
+    x = self.dec_first_conv_block(x)
+    dec_big_skip = x
+    for stage_id, block_idx in enumerate(self.block_group_info[5:9]):
+        depth = self.runtime_depth[stage_id]
+        active_idx = block_idx[:depth]
+        for idx in active_idx:
+            x = self.blocks[idx](x)
+    for i, blk in enumerate(self.dec_final_conv_blocks):
+        x = blk(x)
+        if i == 0:
+            x += dec_big_skip
+    for stage_id, block_idx in enumerate(self.block_group_info[9:]):
+        depth = self.runtime_depth[stage_id]
+        active_idx = block_idx[:depth]
+        for idx in active_idx:
+            x = self.blocks[idx](x)
+    return self.dec_final_output_conv_block(x)
+
+
+def load_reference():
+    tv = types.ModuleType("torchvision")
+    tvu = types.ModuleType("torchvision.utils")
+    tvu.make_grid = lambda *a, **k: a[0]
+    tv.utils = tvu
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.utils", tvu)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from ofa.elastic_nn.modules.dynamic_op import DynamicSeparableConv2d
+    from ofa.elastic_nn.networks.ofa_mbs4 import OFAMobileNetS4 as RefS4
+    from ofa.elastic_nn.networks.ofa_mbx4 import OFAMobileNetX4 as RefX4
+    DynamicSeparableConv2d.KERNEL_TRANSFORM_MODE = 1
+    return RefS4, RefX4
+
+
+def make_torch_inits():
+    """Construct the reference nets with the reference's torch init; their
+    state_dicts seed BOTH sides."""
+    import torch
+    RefS4, RefX4 = load_reference()
+    torch.manual_seed(TORCH_INIT_SEED)
+    teacher = RefS4(ks_list=[5], expand_ratio_list=[3], depth_list=[2],
+                    pixelshuffle_depth_list=[1])
+    torch.manual_seed(TORCH_INIT_SEED + 1)
+    supernet = RefX4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
+                     depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
+    return {"teacher": teacher.state_dict(),
+            "supernet": supernet.state_dict()}
+
+
+def torch_optimizer(net, lr, wd=3e-5):
+    """Adam with the no_decay_keys='bn#bias' split (sr_run_manager.py:180-191)."""
+    import torch
+    keys = ["bn", "bias"]
+    wd_p, no_wd = [], []
+    for name, p in net.named_parameters():
+        (no_wd if any(k in name for k in keys) else wd_p).append(p)
+    return torch.optim.Adam([{"params": wd_p, "weight_decay": wd},
+                             {"params": no_wd, "weight_decay": 0}], lr)
+
+
+def stream(provider, epoch):
+    """One epoch's train batches as numpy (the loader is (epoch,index)-
+    seeded, so this replays exactly what the jax CLI consumed)."""
+    provider.train.set_epoch(epoch)
+    return [{k: np.asarray(v) for k, v in b.items()} for b in provider.train]
+
+
+def nchw(a):
+    import torch
+    return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+
+def torch_grid_eval(net, provider, corners, *, is_x4):
+    import torch
+    import jax.numpy as jnp
+    from ofa_sr_tpu.utils.metrics import psnr_y_device
+    net.eval()
+    out = {}
+    for (k, e, d, pd) in corners:
+        if is_x4:
+            net.set_active_subnet(ks=k, e=e, d=d, pixel_d=[pd])
+        psnrs = []
+        for b in provider.test:
+            x = nchw(np.asarray(b["x%d" % (2 ** pd)]))
+            with torch.no_grad():
+                y = net(x).numpy().transpose(0, 2, 3, 1)
+            psnrs.append(float(psnr_y_device(
+                jnp.asarray(y), jnp.asarray(np.asarray(b["image"])))))
+        out["K%d-E%d-D%d-PD%d" % (k, e, d, pd)] = round(
+            float(np.mean(psnrs)), 3)
+    net.train()
+    return out
+
+
+def run_torch_curriculum(a, torch_inits):
+    import torch
+    import torch.nn.functional as F
+    from ofa_sr_tpu.data import Div2KSetXXProvider
+    from ofa_sr_tpu.train.schedules import lr_at_step
+
+    RefS4, RefX4 = load_reference()
+    provider = Div2KSetXXProvider(root=a.data_root, image_size=a.crop,
+                                  train_batch_size=a.bs, num_workers=2)
+    results = {}
+
+    def train_epochs(net, n_epochs, base_lr, dyn_bs, *, bn_eval,
+                     sample=None):
+        opt = torch_optimizer(net, base_lr)
+        for epoch in range(n_epochs):
+            batches = stream(provider, epoch)
+            n_batch = len(batches)
+            net.train()
+            if bn_eval:  # sr_run_manager.py:416-423
+                for m in net.modules():
+                    if isinstance(m, torch.nn.BatchNorm2d):
+                        m.eval()
+            for i, b in enumerate(batches):
+                lr = lr_at_step(base_lr, epoch, i, n_batch, n_epochs,
+                                warmup_epochs=0, warmup_lr=-1,
+                                lr_schedule_type="cosine")
+                for g in opt.param_groups:
+                    g["lr"] = lr
+                hr = nchw(b["image"])
+                lrs = {1: nchw(b["x2"]), 2: nchw(b["x4"])}
+                opt.zero_grad()
+                for k in range(dyn_bs):
+                    # the determinism contract (progressive_shrinking.py:161-165)
+                    random.seed(int("%d%.3d%.3d" % (epoch * n_batch + i, k, 0)))
+                    if sample is None:
+                        pd = 1
+                    else:
+                        settings = sample()
+                        pd = settings["pixel_d"][0]
+                    loss = F.mse_loss(net(lrs[pd]), hr)
+                    loss.backward()
+                opt.step()
+
+    # ---- teacher ----------------------------------------------------------
+    teacher = RefS4(ks_list=[5], expand_ratio_list=[3], depth_list=[2],
+                    pixelshuffle_depth_list=[1])
+    teacher.load_state_dict(torch_inits["teacher"])
+    train_epochs(teacher, a.teacher_epochs, a.teacher_lr, 1, bn_eval=True)
+    results["teacher"] = torch_grid_eval(teacher, provider, [(5, 3, 2, 1)],
+                                         is_x4=False)
+
+    # ---- supernet phases --------------------------------------------------
+    prev_sd = torch_inits["supernet"]
+    for task, spec in phase_table(a):
+        net = RefX4(ks_list=spec["ks_list"],
+                    expand_ratio_list=spec["expand_list"],
+                    depth_list=spec["depth_list"],
+                    pixelshuffle_depth_list=spec["pixel_d_list"])
+        net.forward = types.MethodType(_sr_mode_forward, net)
+        # lenient like load_weights_from_net (ofa_mbx4.py:303-341): the
+        # pixelshuffle phase's ks_list=[7] net has no transform matrices
+        net.load_state_dict(prev_sd, strict=False)
+
+        def sample():
+            return net.sample_active_subnet()
+
+        if task == "kernel":
+            train_epochs(net, spec["n_epochs"], spec["base_lr"],
+                         spec["dynamic_batch_size"], bn_eval=False,
+                         sample=sample)
+        else:
+            dims = {"depth": ("depth", sorted(spec["depth_list"],
+                                              reverse=True)),
+                    "expand": ("expand_ratio", sorted(spec["expand_list"],
+                                                      reverse=True)),
+                    "pixelshuffle_depth": (
+                        "pixelshuffle_depth",
+                        sorted(spec["pixel_d_list"], reverse=True))}
+            ctype, stage_list = dims[task]
+            for stage in range(len(stage_list) - 1):
+                supported = stage_list[:stage + 2]
+                if task == "expand":
+                    # progressive_shrinking.py:356,388
+                    net.re_organize_middle_weights(
+                        expand_ratio_stage=stage + 1)
+                net.set_constraint(list(supported), constraint_type=ctype)
+                train_epochs(net, spec["n_epochs"], spec["base_lr"],
+                             spec["dynamic_batch_size"], bn_eval=False,
+                             sample=sample)
+            for t in ("_depth_include_list", "_expand_include_list",
+                      "_pixelshuffle_depth_include_list",
+                      "_ks_include_list"):
+                net.__dict__[t] = None
+        results[task] = torch_grid_eval(net, provider, grid_corners(spec),
+                                        is_x4=True)
+        prev_sd = net.state_dict()
+    return results
+
+
+# ---------------------------------------------------------------------------
+# baseline + report
+# ---------------------------------------------------------------------------
+
+def bicubic_baseline(a):
+    """PSNR-Y of plain bicubic upscaling on the val set — the floor a
+    converged SR net must clear."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from ofa_sr_tpu.data import Div2KSetXXProvider
+    from ofa_sr_tpu.utils.metrics import psnr_y_device
+    provider = Div2KSetXXProvider(root=a.data_root, image_size=a.crop,
+                                  train_batch_size=a.bs, num_workers=2)
+    out = {}
+    for pd in (1, 2):
+        psnrs = []
+        for b in provider.test:
+            lr = np.asarray(b["x%d" % (2 ** pd)])[0]
+            hr = np.asarray(b["image"])[0]
+            up = Image.fromarray(
+                (np.clip(lr, 0, 1) * 255).round().astype(np.uint8)).resize(
+                (hr.shape[1], hr.shape[0]), Image.BICUBIC)
+            up = np.asarray(up).astype(np.float32) / 255.0
+            psnrs.append(float(psnr_y_device(jnp.asarray(up[None]),
+                                             jnp.asarray(hr[None]))))
+        out["x%d" % (2 ** pd)] = round(float(np.mean(psnrs)), 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", type=str, default="/tmp/ofa_curriculum")
+    ap.add_argument("--data_root", type=str, default=None)
+    ap.add_argument("--n_train", type=int, default=32)
+    ap.add_argument("--n_val", type=int, default=4)
+    ap.add_argument("--img", type=int, default=64)
+    ap.add_argument("--crop", type=int, default=32)
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--teacher_epochs", type=int, default=12)
+    ap.add_argument("--teacher_lr", type=float, default=1e-3)
+    ap.add_argument("--phase_epochs", type=int, default=4)
+    ap.add_argument("--phase_lr", type=float, default=2.5e-4)
+    ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--skip_jax", action="store_true")
+    a = ap.parse_args()
+    if a.data_root is None:
+        a.data_root = os.path.join(a.out, "data")
+    os.makedirs(a.out, exist_ok=True)
+
+    if not os.path.exists(os.path.join(a.data_root, "train")):
+        gen_tree(a.data_root, a.n_train, a.n_val, a.img, seed=SEED)
+
+    report = {"config": vars(a), "baseline_bicubic": bicubic_baseline(a)}
+    torch_inits = make_torch_inits()
+
+    if not a.skip_jax:
+        t0 = time.time()
+        report["jax"] = run_jax_curriculum(a, torch_inits)
+        report["jax_sec"] = round(time.time() - t0, 1)
+        with open(os.path.join(a.out, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+    if not a.skip_torch:
+        t0 = time.time()
+        report["torch"] = run_torch_curriculum(a, torch_inits)
+        report["torch_sec"] = round(time.time() - t0, 1)
+
+    if "jax" in report and "torch" in report:
+        deltas = {}
+        for phase in report["jax"]:
+            deltas[phase] = {
+                k: round(report["jax"][phase][k] - report["torch"][phase][k], 3)
+                for k in report["jax"][phase]}
+        report["delta_jax_minus_torch"] = deltas
+    with open(os.path.join(a.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,21 @@ association is NOT guaranteed — XLA's jnp.mean may tree-reduce — so
 parity is to float tolerance; tests/test_pallas.py pins it).
 
 Enabled inside batch_norm via OFA_SR_TPU_PALLAS_BN=1 (hardware only;
-interpret=True for CPU tests). Measured on the v5e (2026-08-17 session,
-healthy chip, scan-amortized / value-fetch): see exp/perf_bn_probe.py
-output in NOTES_ROUND3.md.
+interpret=True for CPU tests).
+
+MEASURED VERDICT (v5e, 2026-08-17, healthy chip — MXU probe 103 TF/s;
+scan-amortized, value-fetch, equal-n A/B per the repo's relay
+methodology): the kernel itself is memory-bound at speed-of-light —
+slope-timed 373 GB/s on (16,48,48,64) f32, equal to the chip's
+independently probed HBM rate — yet the FULL TRAIN STEP gets SLOWER
+with it enabled: bf16 remat=all_save_bn 42.1 ms vs 37.2 ms XLA-only;
+f32 53.7 vs 38.8 ms (exp/perf_step_variants.py with/without
+OFA_SR_TPU_PALLAS_BN=1). Root cause: XLA never pays the standalone
+reduction pass this kernel optimizes — it fuses the moment sums into
+the *producing conv's epilogue* and the normalize into the consumer,
+while an opaque pallas_call forces the activation to round-trip HBM
+and severs both fusions. XLA stays the production path; this kernel is
+the measured record (DESIGN.md §6).
 """
 
 from __future__ import annotations

@@ -91,14 +91,19 @@ def main():
     space = SearchSpace()
     net = OFAMobileNetS4(space)
     params, state = net.init(jax.random.PRNGKey(0))
-    # bf16 compute + remat='all_save_bn' is the measured-fastest training
-    # config on HW (exp/perf_step_variants.py, r3 session: bf16-allbn 36.3
-    # vs f32-allbn 39.4 ms/step, losses bit-identical across variants;
-    # compile no slower through the relay, 284 vs 312 s). f32 master
-    # params, BN statistics, loss and PSNR stay f32 (train_step.py
-    # cast_params_for_compute).
+    # Measured-fastest training config on HW (exp/perf_step_variants.py,
+    # r3 equal-n race, same session): bf16 compute + remat='all_save_bn'
+    # + dw_switch 32.7 < bf16-allbn 37.2 < f32-allbn 38.8 ms/step, losses
+    # bit-identical, compiles comparable (213/245/217 s). dw_switch
+    # branches the depthwise over the sampled (ks x width) — the r3 trace
+    # put the max-shape dw stack at 54% of the step (DESIGN.md §7). NB
+    # dw_switch is bf16-only as a default: f32+dws measured 274 ms (XLA's
+    # f32 lowering of narrow depthwise convs collapses, like s2d-f32).
+    # f32 master params, BN statistics, loss and PSNR stay f32
+    # (train_step.py cast_params_for_compute).
     trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
-                        compute_dtype=jnp.bfloat16, remat="all_save_bn")
+                        compute_dtype=jnp.bfloat16, remat="all_save_bn",
+                        dw_switch=True)
     opt_state = trainer.init_opt_state(params)
 
     bs, hr = 16, 96
@@ -257,8 +262,8 @@ def main():
         "detail": {
             "envelope": "bs16 96px DIV2K supernet step, 1 subnet/step, "
                         "bf16 compute (f32 master/BN/loss), "
-                        "remat=all_save_bn, device-side scan of %d "
-                        "steps/dispatch" % n_inner,
+                        "remat=all_save_bn, dw_switch, device-side scan "
+                        "of %d steps/dispatch" % n_inner,
             "step_ms_best": round(best_ms, 3),
             "step_ms_median": round(median_ms, 3),
             "window_spread_ms": [round(x, 3) for x in window_ms],

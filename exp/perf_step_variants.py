@@ -41,6 +41,11 @@ VARIANTS = {
     "f32-rematallbn-s2d": ("f32", "all_save_bn", False, True),
     "bf16-rematallbn-s2d": ("bf16", "all_save_bn", False, True),
     "bf16-rematall-s2d": ("bf16", "all", False, True),
+    # dw_switch: depthwise branched over (ks x mid width) — the sampled
+    # subnet's dw runs only its own taps and channels (models/layers.py)
+    "f32-rematallbn-dws": ("f32", "all_save_bn", False, False, True),
+    "bf16-rematallbn-dws": ("bf16", "all_save_bn", False, False, True),
+    "bf16-rematallbn-ks": ("bf16", "all_save_bn", True),
 }
 
 
@@ -81,7 +86,8 @@ def main():
         trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
                             compute_dtype=dtype, remat=remat,
                             ks_switch=bool(rest and rest[0]),
-                            s2d=bool(len(rest) > 1 and rest[1]))
+                            s2d=bool(len(rest) > 1 and rest[1]),
+                            dw_switch=bool(len(rest) > 2 and rest[2]))
         opt_state = trainer.init_opt_state(params)
         step = trainer.make_scan_train_step(n_subnets=1, donate=False)
         try:

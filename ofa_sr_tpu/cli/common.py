@@ -63,6 +63,12 @@ def add_perf_args(parser: argparse.ArgumentParser):
                         help="compile a depthwise branch per kernel size so "
                              "a sampled ks executes only its own k x k taps "
                              "(exact vs masking; ~3x compile time)")
+    parser.add_argument("--dw_switch", action="store_true",
+                        help="branch the depthwise op over (kernel size x "
+                             "middle width): the sampled subnet's dw runs "
+                             "only its own taps and channels (exact vs "
+                             "masking; supersedes --ks_switch; ~9x dw "
+                             "branch count in compile)")
     return parser
 
 
@@ -76,6 +82,8 @@ def perf_config_kw(args):
           "remat": _REMAT_MAP[args.remat]}
     if getattr(args, "ks_switch", False):
         kw["ks_switch"] = True
+    if getattr(args, "dw_switch", False):
+        kw["dw_switch"] = True
     return kw
 
 

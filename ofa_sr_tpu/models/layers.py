@@ -163,7 +163,8 @@ def _sliced_mbconv_branch(p, s, x, space, ks_idx, mid_k, *, act, training,
 def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                  act="relu6", training=False, bn_cfg=None, stride=1,
                  se_mid=None, expand_switch=False, out_ch=None,
-                 spatial_mask=None, remat_pair=False, ks_switch=False):
+                 spatial_mask=None, remat_pair=False, ks_switch=False,
+                 dw_switch=False):
     if out_ch is not None or spatial_mask is not None:
         # elastic output width / bucketed-eval spatial masking: masked
         # execution only
@@ -173,7 +174,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                                     stride=stride, se_mid=se_mid,
                                     out_ch=out_ch, spatial_mask=spatial_mask,
                                     remat_pair=remat_pair,
-                                    ks_switch=ks_switch)
+                                    ks_switch=ks_switch, dw_switch=dw_switch)
     if expand_switch and "se" not in p and len(space.expand_list) > 1:
         # compile one branch per expand option: only the sampled width's
         # FLOPs execute (masking always pays the max width)
@@ -189,13 +190,57 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
     return _masked_mbconv_apply(p, s, x, space, ks_idx, mid, act=act,
                                 training=training, bn_cfg=bn_cfg,
                                 stride=stride, se_mid=se_mid,
-                                remat_pair=remat_pair, ks_switch=ks_switch)
+                                remat_pair=remat_pair, ks_switch=ks_switch,
+                                dw_switch=dw_switch)
+
+
+def _dw_mid_candidates(p, space: SearchSpace):
+    """Static middle-width candidates for this block, from its own weight
+    shapes (reference mid rule make_divisible(round(in*e), 8),
+    dynamic_layers.py:75-77), capped at the bank width."""
+    from ..utils.common import make_divisible
+    in_ch = p["inverted_bottleneck"]["conv"]["w"].shape[2]
+    max_mid = p["depth_conv"]["conv"]["w"].shape[-1]
+    mids = sorted({min(make_divisible(round(in_ch * e), 8), max_mid)
+                   for e in space.expand_list})
+    return mids
+
+
+def _dw_switched(p, y, space: SearchSpace, ks_idx, mid, use_t, stride):
+    """lax.switch over (kernel size x middle width) for the depthwise conv
+    only: the sampled branch runs k x k taps on the first `mk` channels and
+    zero-pads back to the bank width. See the call site for the exactness
+    argument; equivalence pinned by tests/test_dw_switch.py."""
+    w_bank = p["depth_conv"]["conv"]["w"]
+    max_mid = w_bank.shape[-1]
+    ks_set = sorted(set(space.ks_list))
+    mids = _dw_mid_candidates(p, space)
+    e_idx = jnp.searchsorted(jnp.asarray(mids),
+                             jnp.minimum(mid, mids[-1]))
+
+    def dw_branch(ks, mk):
+        eff = transform_kernel_chain(
+            w_bank, p["depth_conv"].get("kt"), space.ks_list, ks,
+            use_t).astype(w_bank.dtype)[:, :, :, :mk]
+
+        def run(yy):
+            out = depthwise_conv2d(yy[:, :, :, :mk], eff, stride=stride)
+            if mk == max_mid:
+                return out
+            return jnp.pad(out, ((0, 0), (0, 0), (0, 0),
+                                 (0, max_mid - mk)))
+        return run
+
+    branches = [dw_branch(ks, mk) for ks in ks_set for mk in mids]
+    if len(branches) == 1:
+        return branches[0](y)
+    return lax.switch(ks_idx * len(mids) + e_idx, branches, y)
 
 
 def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                          act="relu6", training=False, bn_cfg=None, stride=1,
                          se_mid=None, out_ch=None, spatial_mask=None,
-                         remat_pair=False, ks_switch=False):
+                         remat_pair=False, ks_switch=False, dw_switch=False):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
     is the active middle width (both traced int32 scalars); `se_mid` the
     active SE bottleneck width when the block has squeeze-excite.
@@ -234,7 +279,24 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
             # (the BN bias made the pad region nonzero)
             y = y * spatial_mask
         ks_set = sorted(set(space.ks_list))
-        if ks_switch and len(ks_set) > 1:
+        if dw_switch:
+            # branch the DEPTHWISE op (and only it) over the sampled
+            # (kernel size, middle width): the r3 device trace shows the
+            # masked dw7x7 stack — always 49 taps x max_mid channels — is
+            # 54% of the production step at VPU-class rates (DESIGN.md §7),
+            # while the mean sampled subnet needs E[e]/e_max * E[k^2]/49
+            # ~ 0.41 of that work. Unlike expand_switch (which branches
+            # the whole block and lost to the remat buffers + narrowed
+            # matmuls it forces), the MXU-bound 1x1s stay masked at full
+            # width; only the per-channel dw is sliced. Exact: channels
+            # >= mid of `y` are zero (BN mask above), depthwise is
+            # per-channel, so dropping zero channels and zero-padding the
+            # output equals the full-width conv; the tap argument is
+            # ks_switch's. `mk` is the smallest candidate >= mid
+            # (searchsorted left), so runtime widths off the candidate
+            # grid (cls width_mult) stay exact, just with less savings.
+            y = _dw_switched(p, y, space, ks_idx, mid, use_t, stride)
+        elif ks_switch and len(ks_set) > 1:
             # compile one depthwise branch per kernel size: the sampled ks
             # executes only its own k x k taps instead of the window-masked
             # max-ks conv (7x7 costs 49 VPU MACs/px/ch; the r2 HW profile
@@ -351,7 +413,8 @@ def _masked_mbconv_apply_s2d(p, s, x4, space: SearchSpace, ks_idx, mid, *,
 def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
                          bn_cfg=None, remat=False, expand_switch=False,
-                         spatial_mask=None, ks_switch=False, s2d=False):
+                         spatial_mask=None, ks_switch=False, dw_switch=False,
+                         s2d=False):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -364,7 +427,8 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
     through untouched, matching the reference exactly.
     """
     if s2d:
-        assert not (expand_switch or ks_switch or spatial_mask is not None), \
+        assert not (expand_switch or ks_switch or dw_switch
+                    or spatial_mask is not None), \
             "s2d composes with masked execution only"
 
         def plain_block_fn(bp, bs, xx, k_i, m_i):
@@ -378,7 +442,7 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                                 expand_switch=expand_switch,
                                 spatial_mask=spatial_mask,
                                 remat_pair=(remat == "pair"),
-                                ks_switch=ks_switch)
+                                ks_switch=ks_switch, dw_switch=dw_switch)
 
     # rematerialize block activations in the backward pass. Modes:
     #   False          — keep everything (full residuals x 16 blocks exceed

@@ -330,7 +330,8 @@ class ElasticClassifierNet:
                                 act=act, training=bnt, bn_cfg=bn_cfg,
                                 stride=stride, se_mid=sm_i,
                                 out_ch=o_i if elastic_out else None,
-                                ks_switch=getattr(self, "ks_switch", False))
+                                ks_switch=getattr(self, "ks_switch", False),
+                                dw_switch=getattr(self, "dw_switch", False))
 
         if remat:
             block_fn = jax.checkpoint(block_fn, static_argnums=(7, 8, 9))

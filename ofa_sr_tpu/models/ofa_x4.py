@@ -146,6 +146,7 @@ class OFAMobileNetX4:
                 act="relu6", training=bnt, bn_cfg=self.bn_cfg, remat=remat,
                 expand_switch=getattr(self, 'expand_switch', False),
                 ks_switch=getattr(self, 'ks_switch', False),
+                dw_switch=getattr(self, 'dw_switch', False),
                 spatial_mask=spatial_mask)
             new_states.extend(stage_s)
         return x, new_states

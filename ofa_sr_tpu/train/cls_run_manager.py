@@ -75,7 +75,8 @@ class ClsRunManager:
             # trainer default (on); 'alt'/'pair'/'all' all mean on
             remat=(True if run_config.remat is None
                    else bool(run_config.remat)),
-            ks_switch=run_config.ks_switch)
+            ks_switch=run_config.ks_switch,
+            dw_switch=run_config.dw_switch)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, **teacher_kw)

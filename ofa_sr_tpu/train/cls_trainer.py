@@ -49,7 +49,7 @@ class ClsTrainer:
                  momentum=0.9, nesterov=True, label_smoothing=0.1,
                  kd_ratio=0.0, kd_type="ce", teacher_net=None,
                  bn_frozen=False, compute_dtype=None, remat=True,
-                 ks_switch=False):
+                 ks_switch=False, dw_switch=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -67,6 +67,8 @@ class ClsTrainer:
         self.remat = remat
         # per-kernel-size depthwise branches (models/layers.py ks_switch)
         net.ks_switch = ks_switch
+        # depthwise (ks x mid-width) branches (models/layers.py dw_switch)
+        net.dw_switch = dw_switch
         self._tx = None
 
     def tx(self, params):

@@ -97,6 +97,12 @@ class RunConfig:
     # only its own k x k taps instead of the window-masked 7x7 (exact;
     # ~3x compile). See SRTrainer.ks_switch.
     ks_switch: bool = False
+    # branch the depthwise op over (kernel size x middle width): the
+    # sampled subnet's dw runs only its own taps and channels (exact;
+    # supersedes ks_switch; ~9x dw branch count in compile). The r3 trace
+    # account measured the max-shape dw stack at 54% of the step
+    # (DESIGN.md §7). See SRTrainer.dw_switch.
+    dw_switch: bool = False
     # execute the trunk in space-to-depth layout (4x-deep MXU-shaped 1x1
     # contractions, exact; ops/s2d.py). S4 only.
     s2d: bool = False
@@ -176,7 +182,7 @@ class SRRunManager:
                 bn_frozen=run_config.bn_frozen, teacher_net=t_net,
                 compute_dtype=_compute_dtype_of(run_config),
                 remat=run_config.remat, ks_switch=run_config.ks_switch,
-                s2d=run_config.s2d)
+                dw_switch=run_config.dw_switch, s2d=run_config.s2d)
         else:
             self.trainer = SRTrainer(
                 net, opt_type=run_config.opt_type,
@@ -185,7 +191,7 @@ class SRRunManager:
                 mode=run_config.mode, bn_frozen=run_config.bn_frozen,
                 compute_dtype=_compute_dtype_of(run_config),
                 remat=run_config.remat, ks_switch=run_config.ks_switch,
-                s2d=run_config.s2d)
+                dw_switch=run_config.dw_switch, s2d=run_config.s2d)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._train_step = self.trainer.make_train_step(
             n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)

@@ -64,7 +64,8 @@ class SRTrainer:
                  momentum=0.9, nesterov=True, kd_ratio=0.0,
                  mode: str = "sr", bn_frozen: bool = False,
                  teacher_net=None, compute_dtype=None, remat=None,
-                 expand_switch=False, ks_switch=False, s2d=False):
+                 expand_switch=False, ks_switch=False, dw_switch=False,
+                 s2d=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -97,6 +98,12 @@ class SRTrainer:
         # r2 HW profile measured depthwise VPU time as a dominant step
         # cost). Exact vs masking; ~3x branch count in compile.
         net.ks_switch = ks_switch
+        # dw_switch: branch the depthwise op over (kernel size x middle
+        # width) — supersedes ks_switch when set. The r3 trace account
+        # (DESIGN.md §7) shows the max-shape dw stack is 54% of the step;
+        # the mean sampled subnet needs ~0.41 of it. Exact vs masking
+        # (tests/test_dw_switch.py); measured numbers in NOTES_ROUND3.
+        net.dw_switch = dw_switch
         # s2d: execute the trunk in space-to-depth layout — block-diagonal
         # 4x-deep 1x1 contractions for the MXU, exact (ops/s2d.py). S4 only;
         # decision probe: exp/perf_s2d_probe.py.

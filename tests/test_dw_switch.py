@@ -1,0 +1,117 @@
+"""dw_switch execution mode == masked execution (forward, BN state, grads).
+
+dw_switch branches the depthwise conv (and only it) over the sampled
+(kernel size, middle width): the selected branch runs k x k taps on the
+first mk channels and zero-pads the output back to the bank width
+(models/layers.py _dw_switched). Equivalence basis:
+- channels >= mid of the depthwise input are exactly zero (the BN mask
+  re-zeroed them after the expand 1x1), and depthwise is per-channel, so
+  dropping zero channels and zero-padding the output equals the
+  full-width conv;
+- the tap argument is ks_switch's (a k x k kernel at pad k//2 equals the
+  zero-embedded max-ks kernel at pad max_ks//2);
+- mk is the smallest candidate >= mid, so runtime widths off the
+  candidate grid (cls width_mult) stay exact with less savings.
+
+Motivation: the r3 device trace measured the max-shape dw stack at 54%
+of the production train step (DESIGN.md §7).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace, sample_subnet
+from ofa_sr_tpu.train import SRTrainer
+
+SMALL = SearchSpace(ks_list=[3, 5, 7], expand_list=[2, 3], depth_list=[1, 2],
+                    pixel_d_list=[1, 2], n_stages=2, width=8)
+
+
+def test_dw_switch_matches_masked_forward_and_state():
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
+    seen = set()
+    for seed in range(8):
+        cfg = sample_subnet(SMALL, seed=seed)
+        seen.update(zip(cfg.ks, cfg.e))
+        arch = cfg.to_device(SMALL)
+        net.dw_switch = False
+        y0, s0 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=True)
+        net.dw_switch = True
+        y1, s1 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=True)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+    net.dw_switch = False
+    assert len({k for k, _ in seen}) > 1 and len({e for _, e in seen}) > 1, \
+        "samples never exercised multiple (ks, e) options"
+
+
+def test_dw_switch_off_grid_width_uses_ceiling_branch():
+    """A runtime mid between candidates (the cls width_mult case) must take
+    the smallest candidate >= mid and stay exact vs masking."""
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(2))
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 8, 8, 3).astype(np.float32))
+    cfg = sample_subnet(SMALL, seed=3)
+    arch = cfg.to_device(SMALL)
+    # candidates are make_divisible(8*e, 8) = {16, 24}; force mid=20
+    arch = dict(arch)
+    arch["mid"] = jnp.full_like(arch["mid"], 20)
+    net.dw_switch = False
+    y0, _ = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=False)
+    net.dw_switch = True
+    y1, _ = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=False)
+    net.dw_switch = False
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dw_switch_cls_mbv3_exact():
+    """MBV3 (SE blocks, strided stages, per-block in_ch) under dw_switch ==
+    masked execution; candidates derive from each block's own weight shapes
+    (_dw_mid_candidates)."""
+    from ofa_sr_tpu.models.ofa_cls import OFAMobileNetV3
+    net = OFAMobileNetV3()
+    p, s = net.init(jax.random.PRNGKey(0))
+    arch = net.arch_to_device(net.sample_arch(seed=3))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    net.dw_switch = False
+    y0, _ = net.apply(p, s, x, arch, training=True)
+    net.dw_switch = True
+    y1, _ = net.apply(p, s, x, arch, training=True)
+    net.dw_switch = False
+    # mathematically exact; float reassociation only (the sliced dw's
+    # reduction tiling differs from the masked full-width conv's),
+    # amplified through 20 blocks + global pooling: measured 2.3e-6 abs
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dw_switch_trainer_gradients_match():
+    net_a = OFAMobileNetS4(SMALL)
+    p, s = net_a.init(jax.random.PRNGKey(1))
+    batch = {
+        "image": jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3), jnp.float32),
+        "x2": jnp.asarray(np.random.RandomState(2).rand(2, 8, 8, 3), jnp.float32),
+        "x4": jnp.asarray(np.random.RandomState(3).rand(2, 4, 4, 3), jnp.float32),
+    }
+    arch = (sample_subnet(SMALL, seed=5).to_device(SMALL),)
+
+    results = []
+    for dws in (False, True):
+        net = OFAMobileNetS4(SMALL)
+        tr = SRTrainer(net, opt_type="sgd", weight_decay=0.0, dw_switch=dws)
+        opt = tr.init_opt_state(p)
+        step = tr.make_train_step(n_subnets=1, donate=False)
+        p1, _, _, m = step(p, s, opt, batch, arch, jnp.asarray(1e-2))
+        results.append((p1, float(m["loss"])))
+    assert abs(results[0][1] - results[1][1]) < 1e-6
+    for a, b in zip(jax.tree.leaves(results[0][0]),
+                    jax.tree.leaves(results[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -242,14 +242,30 @@ def main():
     imgs_per_sec = bs / (best_ms / 1000)
     # masked execution pays max kernel/expand inside each *executed* block;
     # elastic depth compiles to lax.switch, so gated-out blocks truly skip.
+    # Under dw_switch the depthwise is ALSO branched to the sampled
+    # (ks x width), so the executed-FLOPs account must not bill the dw at
+    # max shape — that would overstate achieved TF/s.
     from ofa_sr_tpu.models.arch import SubnetConfig
-    from ofa_sr_tpu.search.flops import s4_subnet_flops
+    from ofa_sr_tpu.search.flops import _conv_macs, s4_subnet_flops
     exec_macs = []
     for cfg in cfgs:
         full = SubnetConfig(ks=tuple([7] * len(cfg.ks)),
                             e=tuple([6] * len(cfg.e)), d=cfg.d,
                             pixel_d=cfg.pixel_d)
-        exec_macs.append(s4_subnet_flops(full, space, hr_size=hr))
+        macs = s4_subnet_flops(full, space, hr_size=hr)
+        lh = lw = hr // (2 ** cfg.pixel_d)
+        mid_max = space.mid_channels(max(space.expand_list))
+        bi = 0
+        for si in range(space.n_stages):
+            for i in range(space.max_depth):
+                if i < cfg.d[si]:
+                    macs -= _conv_macs(lh, lw, mid_max, mid_max,
+                                       max(space.ks_list), groups=mid_max)
+                    mid = space.mid_channels(cfg.e[bi])
+                    macs += _conv_macs(lh, lw, mid, mid, cfg.ks[bi],
+                                       groups=mid)
+                bi += 1
+        exec_macs.append(macs)
     flops_step = bs * 3 * 2 * float(np.mean(exec_macs))  # 3x fwd, 2 flops/MAC
     achieved = flops_step / (best_ms / 1000)
     sol_imgs_per_sec = PEAK_FLOPS["bf16"] / (flops_step / bs)

@@ -46,6 +46,19 @@ VARIANTS = {
     "f32-rematallbn-dws": ("f32", "all_save_bn", False, False, True),
     "bf16-rematallbn-dws": ("bf16", "all_save_bn", False, False, True),
     "bf16-rematallbn-ks": ("bf16", "all_save_bn", True),
+    # remat ladder under dw_switch: with the dw stack sliced to the sampled
+    # (ks x width), the remat recompute mix changes — the r3 trace put
+    # dw fwd *recompute* at ~3 ms/step of the 26 ms bf16-allbn step, so
+    # remat=False (no recompute at all; activations are small at bs16/96px)
+    # may now beat all_save_bn
+    "bf16-rematFalse-dws": ("bf16", False, False, False, True),
+    "bf16-rematpair-dws": ("bf16", "pair", False, False, True),
+    "bf16-rematall-dws": ("bf16", "all", False, False, True),
+    # dwp: dw_switch="project" — the switch branch also swallows dw-BN,
+    # act, and the project 1x1, so the seam materializes 64-ch buffers
+    # instead of 384-ch and the project contracts only the mk prefix
+    "bf16-rematallbn-dwp": ("bf16", "all_save_bn", False, False, "project"),
+    "f32-rematallbn-dwp": ("f32", "all_save_bn", False, False, "project"),
 }
 
 
@@ -71,7 +84,10 @@ def main():
     }
     cfgs = [sample_subnet(space, seed=subnet_seed(0, 50, i, 0))
             for i in range(8)]
-    n_inner = 8
+    # equal-n walls carry +RTT/n_inner per step on both sides of an A/B —
+    # the bias cancels in the difference, but on a slow-relay session
+    # (RTT ~200 ms) raise n_inner so RTT *jitter* stays small vs the signal
+    n_inner = int(os.environ.get("OFA_N_INNER", "8"))
     batches = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (n_inner,) + a.shape), batch)
     stacked = (jax.tree.map(
@@ -87,7 +103,7 @@ def main():
                             compute_dtype=dtype, remat=remat,
                             ks_switch=bool(rest and rest[0]),
                             s2d=bool(len(rest) > 1 and rest[1]),
-                            dw_switch=bool(len(rest) > 2 and rest[2]))
+                            dw_switch=(rest[2] if len(rest) > 2 else False))
         opt_state = trainer.init_opt_state(params)
         step = trainer.make_scan_train_step(n_subnets=1, donate=False)
         try:

@@ -31,7 +31,7 @@ from collections import defaultdict
 import numpy as np
 
 
-def build_step(dtype, remat, n_inner):
+def build_step(dtype, remat, n_inner, dw_switch=False):
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +43,7 @@ def build_step(dtype, remat, n_inner):
     net = OFAMobileNetS4(space)
     params, state = net.init(jax.random.PRNGKey(0))
     trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
-                        remat=remat,
+                        remat=remat, dw_switch=dw_switch,
                         compute_dtype=jnp.bfloat16 if dtype == "bf16" else None)
     opt_state = trainer.init_opt_state(params)
 
@@ -181,12 +181,17 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--inner", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--dw_switch", nargs="?", const=True, default=False,
+                    choices=[True, False, "project"],
+                    help="bare flag = dw-only branching; "
+                         "'project' = branch dw+BN+act+project (dwp)")
     ap.add_argument("--trace_dir", default="/tmp/ofa_trace")
     a = ap.parse_args()
     remat = a.remat if a.remat in ("pair", "all", "all_save_bn") else \
         (a.remat == "True")
 
-    dispatch, (p, s, o) = build_step(a.dtype, remat, a.inner)
+    dispatch, (p, s, o) = build_step(a.dtype, remat, a.inner,
+                                     dw_switch=a.dw_switch)
     p, s, o, m = dispatch(p, s, o)  # compile + warm
     _ = float(np.asarray(m["loss"]))
 

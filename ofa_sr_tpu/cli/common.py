@@ -63,12 +63,16 @@ def add_perf_args(parser: argparse.ArgumentParser):
                         help="compile a depthwise branch per kernel size so "
                              "a sampled ks executes only its own k x k taps "
                              "(exact vs masking; ~3x compile time)")
-    parser.add_argument("--dw_switch", action="store_true",
+    parser.add_argument("--dw_switch", nargs="?", const="dw", default="off",
+                        choices=["off", "dw", "project"],
                         help="branch the depthwise op over (kernel size x "
                              "middle width): the sampled subnet's dw runs "
                              "only its own taps and channels (exact vs "
                              "masking; supersedes --ks_switch; ~9x dw "
-                             "branch count in compile)")
+                             "branch count in compile). 'project' also "
+                             "pulls dw-BN/act/project-1x1 into the branch "
+                             "so the switch seam carries block-width "
+                             "buffers (models/layers.py _dwp_switched)")
     return parser
 
 
@@ -82,8 +86,9 @@ def perf_config_kw(args):
           "remat": _REMAT_MAP[args.remat]}
     if getattr(args, "ks_switch", False):
         kw["ks_switch"] = True
-    if getattr(args, "dw_switch", False):
-        kw["dw_switch"] = True
+    dws = getattr(args, "dw_switch", "off")
+    if dws and dws != "off":
+        kw["dw_switch"] = True if dws == "dw" else dws
     return kw
 
 

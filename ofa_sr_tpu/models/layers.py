@@ -237,6 +237,64 @@ def _dw_switched(p, y, space: SearchSpace, ks_idx, mid, use_t, stride):
     return lax.switch(ks_idx * len(mids) + e_idx, branches, y)
 
 
+def _dwp_switched(p, s, y, space: SearchSpace, ks_idx, mid, use_t, stride, *,
+                  act, training, bn_cfg):
+    """lax.switch over (kernel size x middle width) covering depthwise ->
+    BN -> act -> project 1x1 — `dw_switch="project"`. Versus `_dw_switched`
+    the branch result is the block-width projection (e.g. 64 ch) instead of
+    the zero-padded bank-width dw activation (e.g. 384 ch), so the switch
+    seam materializes ~mid/out_ch x fewer bytes, and the project contracts
+    only the mk prefix.
+
+    MEASURED NEGATIVE (kept opt-in as the record, DESIGN.md §7): equal-n
+    HW race 2026-08-17, bf16 remat=all_save_bn bs16/96px n_inner=32 —
+    dwp 38.5 ms vs dw-only 26.7 ms (+44%). Pulling the MXU-bound 1x1 out
+    of XLA's straight-line schedule into per-branch callees costs more
+    than the seam-buffer traffic it saves (same family as the
+    expand_switch whole-block loss); the switch boundary that wins is
+    exactly one VPU-bound op wide (_dw_switched).
+
+    Exactness, on top of _dw_switched's argument: BN over the mk prefix
+    with the active-`mid` mask updates/normalizes exactly the channels the
+    masked full-width BN does (per-channel stats are independent; suffix
+    state is re-attached untouched), and the masked project over all
+    max_mid channels equals the sliced project over the mk prefix because
+    channels >= mid are zero after the mask. Pinned by
+    tests/test_dw_switch.py (dwp variants)."""
+    bn_cfg = bn_cfg or {}
+    w_bank = p["depth_conv"]["conv"]["w"]
+    w_pl = p["point_linear"]["conv"]["w"]
+    ks_set = sorted(set(space.ks_list))
+    mids = _dw_mid_candidates(p, space)
+    e_idx = jnp.searchsorted(jnp.asarray(mids), jnp.minimum(mid, mids[-1]))
+    bn_p, bn_s = p["depth_conv"]["bn"], s["depth_conv"]["bn"]
+    use_kt = use_t
+
+    def branch(ks, mk):
+        eff = transform_kernel_chain(
+            w_bank, p["depth_conv"].get("kt"), space.ks_list, ks,
+            use_kt).astype(w_bank.dtype)[:, :, :, :mk]
+
+        def run(yy):
+            z = depthwise_conv2d(yy[:, :, :, :mk], eff, stride=stride)
+            mask_k = channel_mask(jnp.minimum(mid, mk), mk, z.dtype)
+            bp = {k: v[:mk] for k, v in bn_p.items()}
+            bs_ = {k: v[:mk] for k, v in bn_s.items()}
+            z, bn_new = batch_norm(z, bp, bs_, training=training,
+                                   mask=mask_k, **bn_cfg)
+            z = apply_act(z, act)
+            out = conv2d(z, w_pl[:, :, :mk, :])
+            bn_full = {k: jnp.concatenate([bn_new[k], bn_s[k][mk:]])
+                       for k in bn_new}
+            return out, bn_full
+        return run
+
+    branches = [branch(ks, mk) for ks in ks_set for mk in mids]
+    if len(branches) == 1:
+        return branches[0](y)
+    return lax.switch(ks_idx * len(mids) + e_idx, branches, y)
+
+
 def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                          act="relu6", training=False, bn_cfg=None, stride=1,
                          se_mid=None, out_ch=None, spatial_mask=None,
@@ -258,6 +316,13 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
     max_mid = p["depth_conv"]["conv"]["w"].shape[-1]
     mask = channel_mask(mid, max_mid, x.dtype)
     new_s = {}
+    # dw_switch="project": branch depthwise + BN + act + project together
+    # (_dwp_switched). SE / elastic output width / bucketed-eval masking
+    # need the project outside the branch — fall back to dw-only branching.
+    use_dwp = (dw_switch == "project" and "se" not in p and out_ch is None
+               and spatial_mask is None)
+    if dw_switch == "project" and not use_dwp:
+        dw_switch = True
 
     def expand_and_depthwise(xx):
         """inverted bottleneck 1x1 -> BN/act -> depthwise -> BN/act: the two
@@ -279,6 +344,11 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
             # (the BN bias made the pad region nonzero)
             y = y * spatial_mask
         ks_set = sorted(set(space.ks_list))
+        if use_dwp:
+            y = _dwp_switched(p, s, y, space, ks_idx, mid, use_t, stride,
+                              act=act, training=training, bn_cfg=bn_cfg)
+            # y is (out, bn_dw_state): block-width projection + dw BN state
+            return y[0], (bn_ib, y[1])
         if dw_switch:
             # branch the DEPTHWISE op (and only it) over the sampled
             # (kernel size, middle width): the r3 device trace shows the
@@ -345,12 +415,14 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
 
     # point linear 1x1 (+BN, no act); out_mask = runtime elastic output
     # width (the masked equivalent of weight[:active_out_channel] slicing,
-    # dynamic_op.py:104-112)
+    # dynamic_op.py:104-112). Under dwp the projection already happened
+    # inside the switch branch — only its BN remains.
     out_mask = None
     if out_ch is not None:
         max_out = p["point_linear"]["conv"]["w"].shape[-1]
         out_mask = channel_mask(out_ch, max_out, x.dtype)
-    y = conv2d(y, p["point_linear"]["conv"]["w"])
+    if not use_dwp:
+        y = conv2d(y, p["point_linear"]["conv"]["w"])
     y, bn_pl = batch_norm(y, p["point_linear"]["bn"], s["point_linear"]["bn"],
                           training=training, mask=out_mask, **bn_cfg)
     new_s["point_linear"] = {"bn": bn_pl}

@@ -13,6 +13,17 @@ first mk channels and zero-pads the output back to the bank width
 - mk is the smallest candidate >= mid, so runtime widths off the
   candidate grid (cls width_mult) stay exact with less savings.
 
+dw_switch="project" (dwp) additionally pulls dw-BN, act, and the project
+1x1 into the branch (_dwp_switched): the switch seam then carries the
+block-width projection instead of the bank-width dw activation, and the
+project contracts only the mk prefix. Extra equivalence basis: masked BN
+over the mk prefix updates/normalizes exactly the channels the full-width
+masked BN does (per-channel stats are independent; suffix running stats
+are gated by the mask in both paths), and the sliced project equals the
+masked full-width project because channels >= mid are zero post-mask.
+Blocks with SE / elastic out_ch / spatial masks fall back to dw-only
+branching.
+
 Motivation: the r3 device trace measured the max-shape dw stack at 54%
 of the production train step (DESIGN.md §7).
 """
@@ -20,6 +31,7 @@ of the production train step (DESIGN.md §7).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ofa_sr_tpu.models import OFAMobileNetS4, SearchSpace, sample_subnet
 from ofa_sr_tpu.train import SRTrainer
@@ -28,7 +40,8 @@ SMALL = SearchSpace(ks_list=[3, 5, 7], expand_list=[2, 3], depth_list=[1, 2],
                     pixel_d_list=[1, 2], n_stages=2, width=8)
 
 
-def test_dw_switch_matches_masked_forward_and_state():
+@pytest.mark.parametrize("mode", [True, "project"])
+def test_dw_switch_matches_masked_forward_and_state(mode):
     net = OFAMobileNetS4(SMALL)
     p, s = net.init(jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
@@ -39,7 +52,7 @@ def test_dw_switch_matches_masked_forward_and_state():
         arch = cfg.to_device(SMALL)
         net.dw_switch = False
         y0, s0 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=True)
-        net.dw_switch = True
+        net.dw_switch = mode
         y1, s1 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=True)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-5, atol=1e-5)
@@ -51,7 +64,8 @@ def test_dw_switch_matches_masked_forward_and_state():
         "samples never exercised multiple (ks, e) options"
 
 
-def test_dw_switch_off_grid_width_uses_ceiling_branch():
+@pytest.mark.parametrize("mode", [True, "project"])
+def test_dw_switch_off_grid_width_uses_ceiling_branch(mode):
     """A runtime mid between candidates (the cls width_mult case) must take
     the smallest candidate >= mid and stay exact vs masking."""
     net = OFAMobileNetS4(SMALL)
@@ -64,17 +78,19 @@ def test_dw_switch_off_grid_width_uses_ceiling_branch():
     arch["mid"] = jnp.full_like(arch["mid"], 20)
     net.dw_switch = False
     y0, _ = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=False)
-    net.dw_switch = True
+    net.dw_switch = mode
     y1, _ = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d, training=False)
     net.dw_switch = False
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-5, atol=1e-6)
 
 
-def test_dw_switch_cls_mbv3_exact():
+@pytest.mark.parametrize("mode", [True, "project"])
+def test_dw_switch_cls_mbv3_exact(mode):
     """MBV3 (SE blocks, strided stages, per-block in_ch) under dw_switch ==
     masked execution; candidates derive from each block's own weight shapes
-    (_dw_mid_candidates)."""
+    (_dw_mid_candidates). Under "project" the SE blocks fall back to
+    dw-only branching (the SE gate needs the dw activation)."""
     from ofa_sr_tpu.models.ofa_cls import OFAMobileNetV3
     net = OFAMobileNetV3()
     p, s = net.init(jax.random.PRNGKey(0))
@@ -82,7 +98,7 @@ def test_dw_switch_cls_mbv3_exact():
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
     net.dw_switch = False
     y0, _ = net.apply(p, s, x, arch, training=True)
-    net.dw_switch = True
+    net.dw_switch = mode
     y1, _ = net.apply(p, s, x, arch, training=True)
     net.dw_switch = False
     # mathematically exact; float reassociation only (the sliced dw's
@@ -103,15 +119,16 @@ def test_dw_switch_trainer_gradients_match():
     arch = (sample_subnet(SMALL, seed=5).to_device(SMALL),)
 
     results = []
-    for dws in (False, True):
+    for dws in (False, True, "project"):
         net = OFAMobileNetS4(SMALL)
         tr = SRTrainer(net, opt_type="sgd", weight_decay=0.0, dw_switch=dws)
         opt = tr.init_opt_state(p)
         step = tr.make_train_step(n_subnets=1, donate=False)
         p1, _, _, m = step(p, s, opt, batch, arch, jnp.asarray(1e-2))
         results.append((p1, float(m["loss"])))
-    assert abs(results[0][1] - results[1][1]) < 1e-6
-    for a, b in zip(jax.tree.leaves(results[0][0]),
-                    jax.tree.leaves(results[1][0])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+    for other in results[1:]:
+        assert abs(results[0][1] - other[1]) < 1e-6
+        for a, b in zip(jax.tree.leaves(results[0][0]),
+                        jax.tree.leaves(other[0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -213,7 +213,9 @@ def main():
         eval_detail = {
             "envelope": "materialized ks7/e6/d2/pd2 subnet, 720p frame "
                         "(LR 320x184), bs=1, frames scan-chained in-device, "
-                        "slope-timed",
+                        "slope-timed, fold_tail (output conv folded through "
+                        "the last pixel_shuffle — 1.94x on the device "
+                        "timeline, models/materialize.py)",
             "frame_ms_best": round(e_best, 3),
             "frames_per_sec": round(1000 / e_best, 2),
             "vs_bf16_sol": round((e_flops / (e_best / 1000))

@@ -38,6 +38,11 @@ def build_args(argv=None):
     p.add_argument("--expand", type=int, default=6)
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--pixel_d", type=int, default=2)
+    p.add_argument("--no_fold_tail", action="store_true",
+                   help="with --materialize: disable folding the output "
+                        "conv through the last pixel_shuffle (the fold is "
+                        "exact and ~2x on TPU; this flag is the measured "
+                        "escape hatch)")
     p.add_argument("--materialize", action="store_true",
                    help="slice + jit the static subnet (deployment path)")
     p.add_argument("--bn_recalib", action="store_true")
@@ -114,7 +119,8 @@ def main(argv=None):
 
         ae = args.x4_autoencoder
         subnet = get_active_subnet(net, rm.params, rm.state, sub_cfg,
-                                   mode="autoencoder" if ae else "sr")
+                                   mode="autoencoder" if ae else "sr",
+                                   fold_tail=not args.no_fold_tail)
         jsub = jax.jit(subnet)
         infer = jsub
         if args.spatial_mesh:

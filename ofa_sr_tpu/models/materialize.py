@@ -88,13 +88,48 @@ def _materialize_mbconv(p, s, space: SearchSpace, ks: int, expand, *,
     return out
 
 
+def _fold_conv_through_shuffle(w, b, r=2):
+    """Rewrite `conv_k(pixel_shuffle(z, r))` as
+    `pixel_shuffle(conv_k'(z, W'), r)` — exact for odd k, SAME padding.
+
+    Derivation (r=2): output HR row 2I+p (p in [0,r)) reads HR row
+    2I+p+u-pad for tap u; writing it as 2(I+di)+a gives a unique LR tap
+    di=(p+u-pad)//r and subpixel row a=(p+u-pad)%r per (p,u). HR SAME
+    pad k//2 maps onto LR SAME pad k'//2 zeros exactly (HR size is even).
+    Channel order follows ops/pixelshuffle.pixel_shuffle: LR channel
+    c*r^2 + y*r + x holds HR channel c's subpixel (y, x) — so
+    W'[di,dj, ci*r^2+a*r+bb, co*r^2+p*r+q] = W[u,v,ci,co] and
+    b'[co*r^2+p*r+q] = b[co]. For k=5: k'=3, cin*4, cout*4 — same math,
+    ~4x the MXU lane utilization for 1.44x the MACs (DESIGN.md §8)."""
+    k, k2, cin, cout = w.shape
+    assert k == k2 and k % 2 == 1, "odd square kernels only"
+    pad = k // 2
+    taps = [(p + u - pad) // r for p in range(r) for u in range(k)]
+    di_min, di_max = min(taps), max(taps)
+    kf = di_max - di_min + 1
+    assert kf // 2 == -di_min, "folded kernel must stay SAME-paddable"
+    wn = np.asarray(w)
+    wf = np.zeros((kf, kf, cin * r * r, cout * r * r), wn.dtype)
+    for p in range(r):
+        for q in range(r):
+            for u in range(k):
+                for v in range(k):
+                    t, s_ = p + u - pad, q + v - pad
+                    ti, a = t // r - di_min, t % r
+                    si, bb = s_ // r - di_min, s_ % r
+                    wf[ti, si, a * r + bb::r * r, p * r + q::r * r] = \
+                        wn[u, v]
+    bf = jnp.repeat(jnp.asarray(b), r * r)
+    return jnp.asarray(wf), bf
+
+
 class StaticSubnet:
     """A concrete (non-elastic) SR net sliced out of an OFAMobileNetS4 / the
     decoder (or encoder+decoder) of an OFAMobileNetX4."""
 
     def __init__(self, net, params, state, cfg: SubnetConfig, *,
                  fold_bn: bool = True, mode: str = "sr",
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, fold_tail: bool = True):
         self.space = net.space
         self.cfg = cfg
         self.pixel_d = cfg.pixel_d
@@ -153,6 +188,24 @@ class StaticSubnet:
         m["dec_out"] = _materialize_conv_layer(
             params["dec_final_output_conv_block"],
             state["dec_final_output_conv_block"], **fb)
+        # fold_tail (DEFAULT ON): run the output conv BEFORE the last
+        # pixel_shuffle. The deployment trace (exp/perf_deploy_trace.py,
+        # DESIGN.md §8) put the 5x5 64->3 conv at full HR resolution at 29%
+        # of the 720p frame at 2.3 TF/s — cout=3 uses 3 of the MXU's 128
+        # lanes. Folding it through the shuffle to a 3x3 256->12 conv at
+        # half resolution is mathematically exact (each HR tap u maps to
+        # exactly one LR tap (u+p-2)//2 and phase (u+p-2)%2; HR SAME pad 2
+        # == LR SAME pad 1; channel order matches pixel_shuffle's
+        # c*r^2+y*r+x) and 4x the lane utilization for 1.44x the MACs.
+        # Measured: 720p bf16 frame 13.88 -> 7.17 ms device (1.94x) — the
+        # big conv 3.99 -> 0.73 ms AND the HR-layout formatting around it
+        # 3.28 -> 0.57. Pinned exactly by
+        # tests/test_materialize.py::test_fold_tail_exact.
+        self.fold_tail = (fold_tail and fold_bn and self.pixel_d >= 1
+                          and not use_pallas)
+        if self.fold_tail:
+            m["dec_out_folded"] = _fold_conv_through_shuffle(
+                m["dec_out"]["w"], m["dec_out"]["b"])
         self.params = m
 
     # -- forward ---------------------------------------------------------------
@@ -254,7 +307,16 @@ class StaticSubnet:
             if i == 0:
                 x = x + skip
         f = 1
-        for lp in m["shuffle"]:
+        for li, lp in enumerate(m["shuffle"]):
+            last = li == len(m["shuffle"]) - 1
+            if self.fold_tail and last:
+                # keep the last shuffle conv's output at LR (256 ch): the
+                # folded output conv consumes the pre-shuffle layout
+                x = self._conv_layer(lp, x, row_valid=rv, f=f)
+                wf, bf = m["dec_out_folded"]
+                x = self._row_mask(x, rv, f)
+                x = conv2d(x, wf) + bf
+                return pixel_shuffle(x, 2)
             if self.use_pallas and self.fold_bn:
                 from ..ops.pallas.shuffle_tail import fused_shuffle_tail
                 x = fused_shuffle_tail(self._row_mask(x, rv, f), lp["w"],
@@ -268,6 +330,7 @@ class StaticSubnet:
 
 def get_active_subnet(net, params, state, cfg: SubnetConfig, *,
                       fold_bn: bool = True, mode: str = "sr",
-                      use_pallas: bool = False) -> StaticSubnet:
+                      use_pallas: bool = False,
+                      fold_tail: bool = True) -> StaticSubnet:
     return StaticSubnet(net, params, state, cfg, fold_bn=fold_bn, mode=mode,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, fold_tail=fold_tail)

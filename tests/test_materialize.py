@@ -90,3 +90,51 @@ def test_export_roundtrip_matches_live_subnet(tmp_path):
     ref = jax.jit(get_active_subnet(net, p, s, cfg))(x)
     assert y.shape == (1, 48, 64, 3)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_fold_tail_exact():
+    """fold_tail (output conv folded through the last pixel_shuffle,
+    _fold_conv_through_shuffle) == the plain materialized subnet, for both
+    pixel_d values and under row_valid masking. The fold is a pure weight
+    rearrangement: identical arithmetic per output pixel up to conv
+    reduction-order reassociation."""
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(3))
+    for seed in range(4):
+        cfg = sample_subnet(SMALL, seed=seed)
+        x = _x(2, 12, 12, seed)
+        plain = get_active_subnet(net, p, s, cfg, fold_tail=False)
+        folded = get_active_subnet(net, p, s, cfg)
+        assert folded.fold_tail, "fold must engage (fold_bn on, pixel_d>=1)"
+        # atol 5e-6: the folded conv reduces 256-deep where the original
+        # reduces 64-deep — pure reassociation (measured max 1.7e-6)
+        np.testing.assert_allclose(np.asarray(folded(x)),
+                                   np.asarray(plain(x)),
+                                   rtol=1e-5, atol=5e-6)
+    # row_valid path (the spatial/tiled deployment contract)
+    cfg = sample_subnet(SMALL, seed=1)
+    x = _x(1, 12, 12, 5)
+    rv = (jnp.asarray(2), jnp.asarray(10))
+    plain = get_active_subnet(net, p, s, cfg, fold_tail=False)
+    folded = get_active_subnet(net, p, s, cfg)
+    np.testing.assert_allclose(np.asarray(folded(x, row_valid=rv)),
+                               np.asarray(plain(x, row_valid=rv)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fold_conv_through_shuffle_unit():
+    """Direct identity: conv_k(pixel_shuffle(z)) == pixel_shuffle(conv(z, W'))
+    for k in {1, 3, 5} on random data (exact up to float reassociation)."""
+    from ofa_sr_tpu.models.materialize import _fold_conv_through_shuffle
+    from ofa_sr_tpu.ops.conv import conv2d
+    from ofa_sr_tpu.ops.pixelshuffle import pixel_shuffle
+    rng = np.random.RandomState(0)
+    for k in (1, 3, 5):
+        z = jnp.asarray(rng.rand(2, 6, 7, 5 * 4).astype(np.float32))
+        w = jnp.asarray(rng.rand(k, k, 5, 3).astype(np.float32))
+        b = jnp.asarray(rng.rand(3).astype(np.float32))
+        ref = conv2d(pixel_shuffle(z, 2), w) + b
+        wf, bf = _fold_conv_through_shuffle(w, b)
+        out = pixel_shuffle(conv2d(z, wf) + bf, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)

@@ -206,6 +206,16 @@ class StaticSubnet:
         if self.fold_tail:
             m["dec_out_folded"] = _fold_conv_through_shuffle(
                 m["dec_out"]["w"], m["dec_out"]["b"])
+            if "enc_unshuffle" in m:
+                # encoder side of the same identity: unshuffle(conv(x, w))
+                # == conv(unshuffle(x), W') (let z = unshuffle(x); the
+                # decoder fold gives conv(shuffle(z), w) =
+                # shuffle(conv(z, W')); unshuffle both sides). Moves the
+                # full-HR-resolution 3->16 / 64->16 encode convs (16 of
+                # 128 MXU lanes) to quarter resolution at 4x the lanes.
+                m["enc_unshuffle_folded"] = [
+                    _fold_conv_through_shuffle(lp["w"], lp["b"])
+                    for lp in m["enc_unshuffle"]]
         self.params = m
 
     # -- forward ---------------------------------------------------------------
@@ -283,9 +293,16 @@ class StaticSubnet:
                 sc = 2 ** self.pixel_d
                 rv = (row_valid[0] // sc, row_valid[1] // sc)
             f = 2 ** self.pixel_d
-            for lp in m["enc_unshuffle"]:
-                x = self._conv_layer(lp, x, shuffle="unshuffle",
-                                     row_valid=rv, f=f)
+            for ei, lp in enumerate(m["enc_unshuffle"]):
+                if self.fold_tail:
+                    # unshuffle first (pure layout), conv with the folded
+                    # weights at the lower resolution — exact, see __init__
+                    wf, bf = m["enc_unshuffle_folded"][ei]
+                    x = self._row_mask(x, rv, f)
+                    x = conv2d(pixel_unshuffle(x, 2), wf) + bf
+                else:
+                    x = self._conv_layer(lp, x, shuffle="unshuffle",
+                                         row_valid=rv, f=f)
                 f //= 2
             skip = x
             for stage in m["enc_stages"]:

@@ -138,3 +138,45 @@ def test_fold_conv_through_shuffle_unit():
         out = pixel_shuffle(conv2d(z, wf) + bf, 2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fold_tail_autoencoder_exact():
+    """X4 autoencoder mode: the fold applies on BOTH ends — encoder convs
+    folded through pixel_unshuffle and the output conv through the last
+    pixel_shuffle — and must match the unfolded subnet, incl. row_valid."""
+    net = OFAMobileNetX4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(4))
+    cfg = sample_subnet(SMALL, seed=7, n_trunks=2)
+    x = _x(1, 16, 16, 4)
+    plain = get_active_subnet(net, p, s, cfg, mode="autoencoder",
+                              fold_tail=False)
+    folded = get_active_subnet(net, p, s, cfg, mode="autoencoder")
+    assert folded.fold_tail
+    # atol 2e-5: two folds' deeper reductions reassociate through the full
+    # encoder+decoder (measured max 6.5e-6); same bound as the
+    # materialized-vs-supernet tests above
+    np.testing.assert_allclose(np.asarray(folded(x)), np.asarray(plain(x)),
+                               rtol=1e-4, atol=2e-5)
+    sc = 2 ** cfg.pixel_d
+    rv = (jnp.asarray(0), jnp.asarray(16 - sc))  # ModCrop-aligned rows
+    np.testing.assert_allclose(np.asarray(folded(x, row_valid=rv)),
+                               np.asarray(plain(x, row_valid=rv)),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_fold_conv_through_unshuffle_unit():
+    """Encoder direction: unshuffle(conv_k(x)) == conv(unshuffle(x), W')
+    with the SAME weight transform (_fold_conv_through_shuffle)."""
+    from ofa_sr_tpu.models.materialize import _fold_conv_through_shuffle
+    from ofa_sr_tpu.ops.conv import conv2d
+    from ofa_sr_tpu.ops.pixelshuffle import pixel_unshuffle
+    rng = np.random.RandomState(1)
+    for k in (1, 3, 5):
+        x = jnp.asarray(rng.rand(2, 12, 14, 5).astype(np.float32))
+        w = jnp.asarray(rng.rand(k, k, 5, 3).astype(np.float32))
+        b = jnp.asarray(rng.rand(3).astype(np.float32))
+        ref = pixel_unshuffle(conv2d(x, w) + b, 2)
+        wf, bf = _fold_conv_through_shuffle(w, b)
+        out = conv2d(pixel_unshuffle(x, 2), wf) + bf
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)

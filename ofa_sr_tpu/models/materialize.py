@@ -254,6 +254,14 @@ class StaticSubnet:
         return apply_act(y, act)
 
     def _mbconv(self, bp, x, row_valid=None, f=1):
+        # NB keep the 1x1s as convs, not reshape-matmuls. The matmul form
+        # is 1.9x faster in isolation at these shapes (45 vs 24 TF/s,
+        # slope-timed micro), but the 720p frame REGRESSED 7.17 -> 9.90 ms
+        # when tried (2026-08-18): what the trace bins as a "slow 1x1 conv"
+        # is really XLA's fused depthwise+project loop, and a dot severs
+        # that fusion — the depthwise then stands alone at its 5.5 TF/s VPU
+        # bound plus ~1.8 ms of layout moves between matmul and conv forms.
+        # Same lesson as the Pallas BN kernel (DESIGN.md §6).
         y = conv2d(x, bp["ib"]["w"])
         y = self._post(bp["ib"], y, act="relu6")
         y = self._row_mask(y, row_valid, f)  # only the depthwise is spatial

@@ -116,7 +116,9 @@ def test_materialized_subnet_pallas_tail_fallback():
     p, s = net.init(jax.random.PRNGKey(3))
     cfg = uniform_subnet(space, 5, 3, 2, 2)
     x = jnp.asarray(np.random.RandomState(3).rand(1, 8, 8, 3), np.float32)
-    y1 = get_active_subnet(net, p, s, cfg)(x)
+    # fold_tail=False: use_pallas disables the fold, and this test pins the
+    # pallas DISPATCHER fallback (not the fold) — compare like with like
+    y1 = get_active_subnet(net, p, s, cfg, fold_tail=False)(x)
     y2 = get_active_subnet(net, p, s, cfg, use_pallas=True)(x)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 

@@ -15,7 +15,11 @@ of the mesh size; both are handled by the subnet's `row_valid` re-zeroing
 (models/materialize.py) — rows outside the true frame are re-zeroed before
 every spatial conv, which makes the valid region window-exact vs the
 unpadded SAME-padded execution (the bucketed-eval equivalence; bitwise up
-to XLA reduction scheduling, ULPs otherwise).
+to XLA reduction scheduling, ULPs otherwise). Measured: with
+fold_tail=False subnets slab-vs-full is exactly 0.0; with the fold_tail
+default the folded convs' deep reductions get shape-dependent tiling, so
+agreement is reassociation-bounded (~8e-7 relative; f64-verified exact
+math — tests/test_autoencoder_infer.py).
 
 Contrast with train/tiled_infer.tiled_sr_infer_mesh (tile-batch sharding,
 zero communication, host-side stitching): halo exchange keeps the whole

@@ -79,7 +79,12 @@ def _load_table(path):
 
 def measure_latency(fn: Callable, *args, warmup=3, iters=20):
     """Median wall-clock of a jitted callable, ms (measure_net_latency
-    semantics: warmup then timed loop, pytorch_utils.py:135-186)."""
+    semantics: warmup then timed loop, pytorch_utils.py:135-186).
+
+    NB this is the END-TO-END per-call number: on a remote-attached device
+    it includes the dispatch round-trip, and `block_until_ready` through a
+    relay can report before execution completes (NOTES_ROUND2). For the
+    device-compute latency use `measure_latency_device`."""
     import jax
     out = None
     for _ in range(warmup):
@@ -94,10 +99,50 @@ def measure_latency(fn: Callable, *args, warmup=3, iters=20):
     return float(np.median(times))
 
 
+def measure_latency_device(fn: Callable, x, n_small=4, n_big=12, reps=3):
+    """Device-compute latency of `fn(x)` in ms: invocations chained inside
+    one `lax.scan` dispatch (per-dispatch RTT amortized), the carry folded
+    into the input so XLA cannot hoist the body, terminated by a value
+    fetch, and slope-timed between two scan lengths so the remaining
+    constant (dispatch + fetch transfer) cancels — the bench.py / relay
+    methodology (memory: an empty scan body "measures" RTT/n; readiness
+    through the relay can report early)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def runner(n):
+        @jax.jit
+        def run():
+            def body(c, _):
+                y = fn(x + c.astype(x.dtype))
+                return jnp.max(jnp.abs(y)).astype(jnp.float32) * 1e-30, None
+            out, _ = lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=n)
+            return out
+        return run
+
+    walls = {}
+    for n in (n_small, n_big):
+        run = runner(n)
+        _ = float(np.asarray(run()))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(run()))
+            best = min(best, time.perf_counter() - t0)
+        walls[n] = best
+    return (walls[n_big] - walls[n_small]) / (n_big - n_small) * 1000
+
+
 def build_latency_table(net, params, state, space, hr_size=96,
-                        batch_size=1, iters=10):
+                        batch_size=1, iters=10, device_timing=True):
     """Measure each materialized uniform subnet corner on the device and
-    record it — a compact TPU latency LUT over (ks, e, d, pixel_d)."""
+    record it — a compact TPU latency LUT over (ks, e, d, pixel_d).
+
+    `device_timing=True` (default) records device-compute latency
+    (`measure_latency_device`, relay-immune); False records the per-call
+    end-to-end wall (`measure_latency`, includes dispatch RTT)."""
     import jax
     import jax.numpy as jnp
 
@@ -114,8 +159,12 @@ def build_latency_table(net, params, state, space, hr_size=96,
                 for d in space.depth_list:
                     cfg = uniform_subnet(space, k, e, d, pd,
                                          n_trunks=net.n_trunks)
-                    sub = jax.jit(get_active_subnet(net, params, state, cfg))
-                    ms = measure_latency(sub, x, warmup=2, iters=iters)
+                    sub = get_active_subnet(net, params, state, cfg)
+                    if device_timing:
+                        ms = measure_latency_device(sub, x)
+                    else:
+                        ms = measure_latency(jax.jit(sub), x, warmup=2,
+                                             iters=iters)
                     table.set("sr_subnet", [lr, lr, 3],
                               [hr_size, hr_size, 3], ms,
                               kernel=k, expand=e, depth=d, pixel_d=pd)

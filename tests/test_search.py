@@ -110,3 +110,23 @@ def test_evolution_finder_respects_constraint_and_improves():
     assert table.predict_efficiency(best) <= constraint
     assert history[-1] >= history[0]
     assert score == quality(best)
+
+
+def test_latency_table_device_timing_roundtrip():
+    """build_latency_table with the relay-immune device timing
+    (scan-amortized, carry-folded, slope-timed measure_latency_device):
+    every (ks, e, d, pd) corner lands in the table with a positive ms and
+    the reference-format query key finds it."""
+    import jax
+    from ofa_sr_tpu.models import OFAMobileNetS4
+    from ofa_sr_tpu.search.latency import build_latency_table
+
+    space = SearchSpace(ks_list=[3], expand_list=[3], depth_list=[1],
+                        pixel_d_list=[1], n_stages=1, width=8)
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(0))
+    table = build_latency_table(net, p, s, space, hr_size=16)
+    ms = table.query("sr_subnet", [8, 8, 3], [16, 16, 3],
+                     kernel=3, expand=3, depth=1, pixel_d=1)
+    assert ms > 0
+    assert len(table.table) == 1

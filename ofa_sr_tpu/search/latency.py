@@ -169,3 +169,77 @@ def build_latency_table(net, params, state, space, hr_size=96,
                               [hr_size, hr_size, 3], ms,
                               kernel=k, expand=e, depth=d, pixel_d=pd)
     return table
+
+
+def build_block_latency_table(net, params, state, space, hr_size=96,
+                              batch_size=1):
+    """Additive per-layer TPU latency LUT — the reference's LUT shape
+    (tutorial/latency_table.py keys one entry per layer type + shapes) with
+    device-measured values: one 'expanded_conv' entry per (kernel, expand,
+    resolution) for the trunk MBConv, plus one 'sr_head_tail' entry per
+    pixel_d for everything outside the trunk (stem, final convs, shuffle
+    tail) measured as whole-subnet latency minus the blocks' sum.
+
+    latency(cfg) ~= head_tail[pd] + sum_blocks blk[ks_i, e_i, res(pd)].
+    Additivity across XLA fusion boundaries is approximate — callers should
+    spot-check (exp/tpu_latency_search.py measures the additivity error on
+    sampled configs)."""
+    import jax.numpy as jnp
+
+    from ..models.arch import uniform_subnet
+    from ..models.materialize import get_active_subnet
+
+    table = LatencyTable()
+    rng = np.random.RandomState(0)
+    w = space.width
+    d_min, d_max = min(space.depth_list), max(space.depth_list)
+    n_stages_total = space.n_stages * getattr(net, "n_trunks", 1)
+    for pd in space.pixel_d_list:
+        lr = hr_size // (2 ** pd)
+        xb = jnp.asarray(rng.rand(batch_size, lr, lr, w), jnp.float32)
+        blk_ms = {}
+        for k in space.ks_list:
+            for e in space.expand_list:
+                cfg = uniform_subnet(space, k, e, d_max, pd,
+                                     n_trunks=getattr(net, "n_trunks", 1))
+                sub = get_active_subnet(net, params, state, cfg)
+                bp = sub.params["dec_stages"][0][0]
+                ms = measure_latency_device(lambda t, bp=bp: sub._mbconv(bp, t),
+                                            xb)
+                blk_ms[(k, e)] = ms
+                table.set("expanded_conv", [lr, lr, w], [lr, lr, w], ms,
+                          kernel=k, expand=e)
+        # head+tail remainder: whole minimal subnet minus its blocks' sum
+        k0, e0 = min(space.ks_list), min(space.expand_list)
+        cfg = uniform_subnet(space, k0, e0, d_min, pd,
+                             n_trunks=getattr(net, "n_trunks", 1))
+        sub = get_active_subnet(net, params, state, cfg)
+        x = jnp.asarray(rng.rand(batch_size, lr, lr, 3), jnp.float32)
+        whole = measure_latency_device(sub, x)
+        ht = max(whole - n_stages_total * d_min * blk_ms[(k0, e0)], 0.0)
+        table.set("sr_head_tail", [lr, lr, 3],
+                  [hr_size, hr_size, 3], ht, pixel_d=pd)
+    return table
+
+
+def lut_efficiency_fn(table: LatencyTable, space, hr_size=96, n_trunks=1):
+    """cfg -> estimated latency in ms from an additive per-block LUT
+    (build_block_latency_table) — plugs into EvolutionFinder as the
+    efficiency constraint, the reference's LatencyEstimator.predict_efficiency
+    role with TPU-measured values."""
+    w = space.width
+
+    def fn(cfg):
+        lr = hr_size // (2 ** cfg.pixel_d)
+        ms = table.query("sr_head_tail", [lr, lr, 3],
+                         [hr_size, hr_size, 3], pixel_d=cfg.pixel_d)
+        bi = 0
+        for si in range(space.n_stages * n_trunks):
+            for i in range(space.max_depth):
+                if i < cfg.d[si]:
+                    ms += table.query("expanded_conv", [lr, lr, w],
+                                      [lr, lr, w], kernel=cfg.ks[bi],
+                                      expand=cfg.e[bi])
+                bi += 1
+        return ms
+    return fn

@@ -130,3 +130,33 @@ def test_latency_table_device_timing_roundtrip():
                      kernel=3, expand=3, depth=1, pixel_d=1)
     assert ms > 0
     assert len(table.table) == 1
+
+
+def test_block_latency_lut_drives_evolution():
+    """Additive per-block TPU LUT (build_block_latency_table) composes a
+    latency estimate for arbitrary configs (lut_efficiency_fn) and plugs
+    into EvolutionFinder as the efficiency constraint — the reference's
+    LatencyEstimator flow with device-measured values."""
+    import jax
+    from ofa_sr_tpu.models import OFAMobileNetS4
+    from ofa_sr_tpu.search.latency import (build_block_latency_table,
+                                           lut_efficiency_fn)
+
+    space = SearchSpace(ks_list=[3, 5], expand_list=[2, 3], depth_list=[1, 2],
+                        pixel_d_list=[1, 2], n_stages=2, width=8)
+    net = OFAMobileNetS4(space)
+    p, s = net.init(jax.random.PRNGKey(0))
+    table = build_block_latency_table(net, p, s, space, hr_size=16)
+    # 2 resolutions x (2 ks x 2 e) block entries + 2 head/tail entries
+    assert len(table.table) == 2 * 4 + 2
+    eff = lut_efficiency_fn(table, space, hr_size=16)
+    small = uniform_subnet(space, 3, 2, 1, 2)
+    big = uniform_subnet(space, 5, 3, 2, 1)
+    assert 0 < eff(small) < eff(big)  # more blocks/taps/res -> slower
+
+    finder = EvolutionFinder(space, efficiency_fn=eff,
+                             quality_fn=lambda c: s4_subnet_flops(c, space),
+                             population_size=8, max_time_budget=3, seed=0)
+    constraint = 0.7 * eff(big) + 0.3 * eff(small)
+    best, q, _hist = finder.run(constraint)
+    assert eff(best) <= constraint

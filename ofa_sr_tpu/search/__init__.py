@@ -7,7 +7,14 @@ from .flops import (
     cls_subnet_flops,
     FLOPsTable,
 )
-from .latency import LatencyTable, measure_latency
+from .latency import (
+    LatencyTable,
+    build_block_latency_table,
+    build_latency_table,
+    lut_efficiency_fn,
+    measure_latency,
+    measure_latency_device,
+)
 from .evolution import EvolutionFinder
 
 __all__ = [
@@ -15,6 +22,7 @@ __all__ = [
     "AccuracyPredictor",
     "count_params", "s4_subnet_flops", "s4_subnet_params",
     "cls_subnet_flops", "FLOPsTable",
-    "LatencyTable", "measure_latency",
+    "LatencyTable", "measure_latency", "measure_latency_device",
+    "build_latency_table", "build_block_latency_table", "lut_efficiency_fn",
     "EvolutionFinder",
 ]

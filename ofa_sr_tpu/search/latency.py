@@ -99,14 +99,20 @@ def measure_latency(fn: Callable, *args, warmup=3, iters=20):
     return float(np.median(times))
 
 
-def measure_latency_device(fn: Callable, x, n_small=4, n_big=12, reps=3):
+def measure_latency_device(fn: Callable, x, n_small=16, n_big=48, reps=3,
+                           min_signal_s=0.02, max_rounds=3):
     """Device-compute latency of `fn(x)` in ms: invocations chained inside
     one `lax.scan` dispatch (per-dispatch RTT amortized), the carry folded
     into the input so XLA cannot hoist the body, terminated by a value
     fetch, and slope-timed between two scan lengths so the remaining
     constant (dispatch + fetch transfer) cancels — the bench.py / relay
-    methodology (memory: an empty scan body "measures" RTT/n; readiness
-    through the relay can report early)."""
+    methodology (an empty scan body "measures" RTT/n; readiness through
+    the relay can report early).
+
+    Adaptive: if the wall difference between the two windows is below
+    `min_signal_s` (the slope signal would drown in relay jitter — a ~µs
+    block body at n=12 produced NEGATIVE LUT entries on hardware), scale
+    both scan lengths up and re-measure, up to `max_rounds` times."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -122,17 +128,23 @@ def measure_latency_device(fn: Callable, x, n_small=4, n_big=12, reps=3):
             return out
         return run
 
-    walls = {}
-    for n in (n_small, n_big):
-        run = runner(n)
-        _ = float(np.asarray(run()))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = float(np.asarray(run()))
-            best = min(best, time.perf_counter() - t0)
-        walls[n] = best
-    return (walls[n_big] - walls[n_small]) / (n_big - n_small) * 1000
+    for round_i in range(max_rounds):
+        walls = {}
+        for n in (n_small, n_big):
+            run = runner(n)
+            _ = float(np.asarray(run()))  # compile + warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(np.asarray(run()))
+                best = min(best, time.perf_counter() - t0)
+            walls[n] = best
+        signal = walls[n_big] - walls[n_small]
+        slope_ms = max(signal, 0.0) / (n_big - n_small) * 1000
+        if signal >= min_signal_s or round_i == max_rounds - 1:
+            return slope_ms
+        scale = max(2, int(np.ceil(min_signal_s * 1.5 / max(signal, 1e-4))))
+        n_small, n_big = n_small * scale, n_big * scale
 
 
 def build_latency_table(net, params, state, space, hr_size=96,

@@ -155,10 +155,13 @@ def main():
         window_ms.append(t_big / (k_big * n_inner))
     slopes.sort()
     window_ms.sort()
-    # a chip-state shift mid-window can corrupt a slope; fall back to the
-    # raw (upper-bound) window wall if the slope is implausible
-    best_ms = slopes[0] if slopes[0] > 0.2 * window_ms[0] else window_ms[0]
-    median_ms = slopes[len(slopes) // 2]
+    # a chip-state shift mid-window can corrupt a slope (even negative);
+    # keep only plausible slopes, else fall back to the raw (upper-bound)
+    # window walls — for the median too, not just the best
+    plausible = [s for s in slopes if s > 0.2 * window_ms[0]]
+    best_ms = plausible[0] if plausible else window_ms[0]
+    median_ms = (plausible[len(plausible) // 2] if plausible
+                 else window_ms[len(window_ms) // 2])
     rtt = dispatch_rtt_ms(jax, jnp)
     peak_probe = probed_matmul_tflops(jax, jnp)
 
@@ -173,34 +176,13 @@ def main():
         sub_cfg = uniform_subnet(space, 7, 6, 2, 2)
         lr_hw = (184, 320)  # 180 rounded up to sublane-friendly 184
 
-        def frame_ms_scan(sub_fn, x):
-            """ms/frame of a materialized subnet: frames chained inside one
-            lax.scan dispatch (per-dispatch relay RTT would otherwise
-            dominate an ~ms frame), with the carry folded into the input
-            so XLA cannot hoist the net out of the scan; slope-timed
-            between two scan lengths to cancel dispatch+fetch."""
-            def runner(n):
-                @jax.jit
-                def run():
-                    def body(c, _):
-                        y = sub_fn(x + c.astype(x.dtype))
-                        return jnp.max(jnp.abs(y)).astype(jnp.float32) * 1e-30, None
-                    out, _ = jax.lax.scan(
-                        body, jnp.zeros((), jnp.float32), None, length=n)
-                    return out
-                return run
+        # ms/frame via the library's relay-immune timer (scan-chained,
+        # carry-folded, slope-timed, adaptive low-signal rescue) — one
+        # implementation of the methodology, not a bench-local copy
+        from ofa_sr_tpu.search.latency import measure_latency_device
 
-            walls = {}
-            for n in (8, 24):
-                run = runner(n)
-                _ = float(np.asarray(run()))
-                best = 1e9
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    _ = float(np.asarray(run()))
-                    best = min(best, time.perf_counter() - t0)
-                walls[n] = best
-            return (walls[24] - walls[8]) / 16 * 1000
+        def frame_ms_scan(sub_fn, x):
+            return measure_latency_device(sub_fn, x, n_small=8, n_big=24)
 
         subnet = get_active_subnet(net, params, state, sub_cfg)
         xf = jnp.asarray(np.random.RandomState(1).rand(1, *lr_hw, 3),

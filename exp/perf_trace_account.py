@@ -181,17 +181,19 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--inner", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
-    ap.add_argument("--dw_switch", nargs="?", const=True, default=False,
-                    choices=[True, False, "project"],
-                    help="bare flag = dw-only branching; "
-                         "'project' = branch dw+BN+act+project (dwp)")
+    ap.add_argument("--dw_switch", nargs="?", const="dw", default="off",
+                    choices=["off", "dw", "project"],
+                    help="bare flag or 'dw' = dw-only branching; "
+                         "'project' = branch dw+BN+act+project (dwp) — "
+                         "same form as the main CLIs (cli/common.py)")
     ap.add_argument("--trace_dir", default="/tmp/ofa_trace")
     a = ap.parse_args()
     remat = a.remat if a.remat in ("pair", "all", "all_save_bn") else \
         (a.remat == "True")
 
+    dws = {"off": False, "dw": True, "project": "project"}[a.dw_switch]
     dispatch, (p, s, o) = build_step(a.dtype, remat, a.inner,
-                                     dw_switch=a.dw_switch)
+                                     dw_switch=dws)
     p, s, o, m = dispatch(p, s, o)  # compile + warm
     _ = float(np.asarray(m["loss"]))
 

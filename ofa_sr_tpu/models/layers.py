@@ -177,13 +177,18 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                                     ks_switch=ks_switch, dw_switch=dw_switch)
     if expand_switch and "se" not in p and len(space.expand_list) > 1:
         # compile one branch per expand option: only the sampled width's
-        # FLOPs execute (masking always pays the max width)
+        # FLOPs execute (masking always pays the max width). Inside a
+        # sliced branch the width is already static, so dw_switch
+        # degenerates to ks_switch exactly — forward it rather than
+        # silently dropping the promised per-ks depthwise saving
+        # (advisor r2's ks_switch note, same class).
         mids = space.mid_candidates()
         idx = jnp.searchsorted(jnp.asarray(mids), mid)
+        ks_sw = ks_switch or bool(dw_switch)
         branches = [
             (lambda mk: (lambda xx: _sliced_mbconv_branch(
                 p, s, xx, space, ks_idx, mk, act=act, training=training,
-                bn_cfg=bn_cfg, stride=stride, ks_switch=ks_switch)))(mk)
+                bn_cfg=bn_cfg, stride=stride, ks_switch=ks_sw)))(mk)
             for mk in mids
         ]
         return lax.switch(idx, branches, x)

@@ -140,9 +140,18 @@ def measure_latency_device(fn: Callable, x, n_small=16, n_big=48, reps=3,
                 best = min(best, time.perf_counter() - t0)
             walls[n] = best
         signal = walls[n_big] - walls[n_small]
-        slope_ms = max(signal, 0.0) / (n_big - n_small) * 1000
-        if signal >= min_signal_s or round_i == max_rounds - 1:
-            return slope_ms
+        if signal >= min_signal_s:
+            return signal / (n_big - n_small) * 1000
+        if round_i == max_rounds - 1:
+            if signal <= 0:
+                # returning a clamped 0.0 would poison a latency LUT
+                # (blocks priced as free satisfy any search constraint)
+                raise RuntimeError(
+                    "measure_latency_device: no usable slope after %d "
+                    "adaptive rounds (signal %.4fs at n=%d/%d) — relay "
+                    "jitter dominates; retry on a healthier session"
+                    % (max_rounds, signal, n_small, n_big))
+            return signal / (n_big - n_small) * 1000
         scale = max(2, int(np.ceil(min_signal_s * 1.5 / max(signal, 1e-4))))
         n_small, n_big = n_small * scale, n_big * scale
 

@@ -163,12 +163,18 @@ class ClsRunManager:
         losses, top1s = AverageMeter(), AverageMeter()
         pending = []
 
-        def record(m, n, i, lr):
+        def record(m, n, i, lr, k=1):
             # meters average the whole epoch (reference AverageMeter
-            # semantics); only the log line is gated on print_frequency
+            # semantics); only the log line is gated on print_frequency.
+            # `k` = optimizer steps this record covers (the scan path
+            # records once per window of steps_per_dispatch steps): a line
+            # fires when a print boundary falls anywhere inside the window,
+            # otherwise window-final indices rarely align with the
+            # frequency and the log silently under-samples
             losses.update(float(m["loss"]), n)
             top1s.update(float(m["top1"]), n)
-            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
+            if ((i + 1) // rc.print_frequency > (i + 1 - k) // rc.print_frequency
+                    or i + 1 == n_batch):
                 self.write_log(
                     "Train [%d][%d/%d] loss %.4f top1 %.2f lr %.4g"
                     % (epoch + 1, i + 1, n_batch, float(m["loss"]),
@@ -196,7 +202,7 @@ class ClsRunManager:
                                       self.opt_state, batches, archs, lrs,
                                       rngs, touched)
                 record(m, sum(q[5] for q in pending), pending[-1][6],
-                       pending[-1][2])
+                       pending[-1][2], k=len(pending))
             else:  # tail shorter than the window: plain steps
                 for (dev, archs, lr, rng, touched, n, i) in pending:
                     (self.params, self.state, self.opt_state,

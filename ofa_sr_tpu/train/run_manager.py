@@ -338,7 +338,7 @@ class SRRunManager:
         t0 = time.time()
         pending = []
 
-        def record(metrics, n, i, lr, desc):
+        def record(metrics, n, i, lr, desc, k=1):
             if acc["loss"] is None:
                 acc["loss"] = metrics["loss"] * n
                 acc["psnr"] = metrics["psnr"] * n
@@ -346,7 +346,11 @@ class SRRunManager:
                 acc["loss"] = acc["loss"] + metrics["loss"] * n
                 acc["psnr"] = acc["psnr"] + metrics["psnr"] * n
             acc["n"] += n
-            if (i + 1) % rc.print_frequency == 0 or i + 1 == n_batch:
+            # `k` = optimizer steps this record covers (scan path records
+            # once per window): log when a print boundary falls inside the
+            # window — window-final indices rarely align with the frequency
+            if ((i + 1) // rc.print_frequency > (i + 1 - k) // rc.print_frequency
+                    or i + 1 == n_batch):
                 self.write_log(
                     "Train [%d][%d/%d]\tloss %.5f\tpsnr %.3f\tlr %.3g\t%s\t%.1fs"
                     % (epoch + 1, i + 1, n_batch, float(metrics["loss"]),
@@ -376,7 +380,7 @@ class SRRunManager:
                                       touched)
                 n_tot = sum(q[4] for q in pending)
                 record(m, n_tot, pending[-1][5], pending[-1][2],
-                       pending[-1][6])
+                       pending[-1][6], k=len(pending))
             else:  # tail shorter than the window: plain steps
                 for (dev_batch, archs, lr, touched, n, i, desc) in pending:
                     (self.params, self.state, self.opt_state,

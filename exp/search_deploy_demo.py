@@ -1,0 +1,141 @@
+"""The reference's full deployment flow on real artifacts: trained supernet
+-> TPU-measured latency LUT -> evolutionary search -> deploy (BN-recalib
+eval, no retraining) — the train-once-specialize-everywhere story
+(README.md of the reference; tutorial flow eval_specialized_net ->
+evolution_finder) executed end to end against this round's curriculum
+checkpoint and this chip.
+
+Inputs: the curriculum run's expand-phase checkpoint (fully elastic
+ks/e/d; exp/curriculum.py writes /tmp/ofa_curriculum) and its synthetic
+image tree. Steps:
+1. per-block latency LUT measured on the TPU for the X4 decoder trunk
+   (build_block_latency_table, trunk_stages=dec-only);
+2. EvolutionFinder maximizes decoder capacity (closed-form MACs) under a
+   latency budget, efficiency = the additive LUT restricted to decoder
+   genes (sr mode executes only the decoder);
+3. the winner and the uniform corners are PSNR-evaluated on the held-out
+   split with BN recalibration (OFA-canonical subnet deployment), and the
+   winner's true device latency is measured.
+
+Writes a JSON report to --out.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--curriculum", default="/tmp/ofa_curriculum")
+    ap.add_argument("--hr", type=int, default=96)
+    ap.add_argument("--crop", type=int, default=32)
+    ap.add_argument("--constraint_frac", type=float, default=0.6)
+    ap.add_argument("--quality", default="macs", choices=["macs", "psnr"],
+                    help="search objective: decoder capacity (closed-form "
+                         "MACs) or measured validation PSNR (BN-recalib "
+                         "masked-supernet eval per candidate, memoized — "
+                         "the AccuracyPredictor role filled by direct "
+                         "evaluation, viable on a small val set)")
+    ap.add_argument("--out", default="/tmp/search_deploy_demo.json")
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ofa_sr_tpu.cli.train_ofa_net_sr_simple import TASK_PHASES
+    from ofa_sr_tpu.data import Div2KSetXXProvider
+    from ofa_sr_tpu.models import OFAMobileNetX4, SearchSpace
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    from ofa_sr_tpu.models.materialize import get_active_subnet
+    from ofa_sr_tpu.search import EvolutionFinder
+    from ofa_sr_tpu.search.flops import _conv_macs
+    from ofa_sr_tpu.search.latency import (build_block_latency_table,
+                                           lut_efficiency_fn,
+                                           measure_latency_device)
+    from ofa_sr_tpu.train import RunConfig, SRRunManager
+
+    spec = TASK_PHASES[("expand", 2)]
+    space = SearchSpace(ks_list=spec["ks_list"],
+                        expand_list=spec["expand_list"],
+                        depth_list=spec["depth_list"],
+                        pixel_d_list=spec["pixel_d_list"])
+    net = OFAMobileNetX4(space)
+    provider = Div2KSetXXProvider(root=os.path.join(a.curriculum, "data"),
+                                  image_size=a.crop, train_batch_size=4,
+                                  num_workers=2)
+    rm = SRRunManager("/tmp/search_deploy_eval", net,
+                      RunConfig(image_size=a.crop, manual_seed=0,
+                                bn_recalib_before_eval=True), provider)
+    rm.load_weights(os.path.join(a.curriculum, "jax", "expand", "checkpoint"))
+
+    print("building decoder block LUT on", jax.devices()[0].platform,
+          flush=True)
+    table = build_block_latency_table(net, rm.params, rm.state, space,
+                                      hr_size=a.hr,
+                                      trunk_stages=space.n_stages)
+    eff = lut_efficiency_fn(table, space, hr_size=a.hr, n_trunks=2,
+                            stage_range=(space.n_stages, 2 * space.n_stages))
+
+    w = space.width
+    lr = a.hr // (2 ** max(space.pixel_d_list))
+
+    def dec_macs(cfg):
+        """Decoder-trunk capacity (the only genes sr mode executes)."""
+        total = 0
+        for si in range(space.n_stages, 2 * space.n_stages):
+            for i in range(cfg.d[si]):
+                bi = si * space.max_depth + i
+                mid = space.mid_channels(cfg.e[bi])
+                total += (_conv_macs(lr, lr, w, mid, 1)
+                          + _conv_macs(lr, lr, mid, mid, cfg.ks[bi],
+                                       groups=mid)
+                          + _conv_macs(lr, lr, mid, w, 1))
+        return total
+
+    big = uniform_subnet(space, 7, 6, 4, 2, n_trunks=2)
+    small = uniform_subnet(space, 3, 3, 2, 2, n_trunks=2)
+    constraint = a.constraint_frac * eff(big)
+
+    psnr_cache = {}
+
+    def psnr_quality(cfg):
+        if cfg not in psnr_cache:
+            _, p = rm.validate(cfg)
+            psnr_cache[cfg] = p
+        return psnr_cache[cfg]
+
+    quality = dec_macs if a.quality == "macs" else psnr_quality
+    pop, gens = (64, 30) if a.quality == "macs" else (24, 12)
+    finder = EvolutionFinder(space, efficiency_fn=eff, quality_fn=quality,
+                             n_trunks=2, population_size=pop,
+                             max_time_budget=gens, seed=0)
+    winner, q, _ = finder.run(constraint)
+    print("winner:", winner, flush=True)
+
+    report = {"constraint_ms": round(constraint, 4), "lut": table.table,
+              "candidates": {}}
+    rng = np.random.RandomState(0)
+    for name, cfg in (("uniform_min", small), ("uniform_max", big),
+                      ("searched", winner)):
+        _, psnr = rm.validate(cfg)
+        entry = {"cfg": repr(cfg), "lut_ms": round(eff(cfg), 4),
+                 "psnr_db": round(psnr, 3),
+                 "dec_gmacs": round(dec_macs(cfg) / 1e9, 3)}
+        sub = get_active_subnet(net, rm.params, rm.state, cfg)
+        x = jnp.asarray(rng.rand(1, lr, lr, 3), jnp.float32)
+        entry["true_ms"] = round(measure_latency_device(sub, x), 4)
+        report["candidates"][name] = entry
+        print(name, entry, flush=True)
+
+    with open(a.out, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

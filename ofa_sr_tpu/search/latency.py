@@ -193,7 +193,7 @@ def build_latency_table(net, params, state, space, hr_size=96,
 
 
 def build_block_latency_table(net, params, state, space, hr_size=96,
-                              batch_size=1):
+                              batch_size=1, trunk_stages=None):
     """Additive per-layer TPU latency LUT — the reference's LUT shape
     (tutorial/latency_table.py keys one entry per layer type + shapes) with
     device-measured values: one 'expanded_conv' entry per (kernel, expand,
@@ -214,7 +214,11 @@ def build_block_latency_table(net, params, state, space, hr_size=96,
     rng = np.random.RandomState(0)
     w = space.width
     d_min, d_max = min(space.depth_list), max(space.depth_list)
-    n_stages_total = space.n_stages * getattr(net, "n_trunks", 1)
+    # stages that actually execute: X4 'sr' mode runs only the decoder
+    # trunk, so its head/tail subtraction must count space.n_stages, not
+    # n_trunks * n_stages (pass trunk_stages=space.n_stages there)
+    n_stages_total = (trunk_stages if trunk_stages is not None
+                      else space.n_stages * getattr(net, "n_trunks", 1))
     for pd in space.pixel_d_list:
         lr = hr_size // (2 ** pd)
         xb = jnp.asarray(rng.rand(batch_size, lr, lr, w), jnp.float32)
@@ -243,24 +247,29 @@ def build_block_latency_table(net, params, state, space, hr_size=96,
     return table
 
 
-def lut_efficiency_fn(table: LatencyTable, space, hr_size=96, n_trunks=1):
+def lut_efficiency_fn(table: LatencyTable, space, hr_size=96, n_trunks=1,
+                      stage_range=None):
     """cfg -> estimated latency in ms from an additive per-block LUT
     (build_block_latency_table) — plugs into EvolutionFinder as the
     efficiency constraint, the reference's LatencyEstimator.predict_efficiency
-    role with TPU-measured values."""
+    role with TPU-measured values.
+
+    `stage_range=(lo, hi)` restricts the billed stages (cfg.d indices):
+    the X4's 'sr' deployment mode executes only the decoder trunk, so its
+    encoder genes cost nothing — pass (n_stages, 2*n_stages) there."""
     w = space.width
+    lo_s, hi_s = stage_range or (0, space.n_stages * n_trunks)
 
     def fn(cfg):
         lr = hr_size // (2 ** cfg.pixel_d)
         ms = table.query("sr_head_tail", [lr, lr, 3],
                          [hr_size, hr_size, 3], pixel_d=cfg.pixel_d)
-        bi = 0
-        for si in range(space.n_stages * n_trunks):
+        for si in range(lo_s, hi_s):
             for i in range(space.max_depth):
+                bi = si * space.max_depth + i
                 if i < cfg.d[si]:
                     ms += table.query("expanded_conv", [lr, lr, w],
                                       [lr, lr, w], kernel=cfg.ks[bi],
                                       expand=cfg.e[bi])
-                bi += 1
         return ms
     return fn

@@ -105,6 +105,11 @@ def main():
     psnr_cache = {}
 
     def psnr_quality(cfg):
+        # search-time quality is the UN-recalibrated masked-supernet PSNR —
+        # a proxy, exactly the role the reference's AccuracyPredictor plays
+        # in its finder (recalibration happens once at deployment, below;
+        # a recalib pass per candidate measured ~10x the search cost
+        # through the relay and adds nothing to ranking fidelity here)
         if cfg not in psnr_cache:
             _, p = rm.validate(cfg)
             psnr_cache[cfg] = p
@@ -123,7 +128,7 @@ def main():
     rng = np.random.RandomState(0)
     for name, cfg in (("uniform_min", small), ("uniform_max", big),
                       ("searched", winner)):
-        _, psnr = rm.validate(cfg)
+        _, psnr = rm.validate(cfg, recalib_loader=provider.train)
         entry = {"cfg": repr(cfg), "lut_ms": round(eff(cfg), 4),
                  "psnr_db": round(psnr, 3),
                  "dec_gmacs": round(dec_macs(cfg) / 1e9, 3)}

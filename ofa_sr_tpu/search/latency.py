@@ -152,7 +152,10 @@ def measure_latency_device(fn: Callable, x, n_small=16, n_big=48, reps=3,
                     "jitter dominates; retry on a healthier session"
                     % (max_rounds, signal, n_small, n_big))
             return signal / (n_big - n_small) * 1000
-        scale = max(2, int(np.ceil(min_signal_s * 1.5 / max(signal, 1e-4))))
+        # cap the per-round jump: a one-off negative signal on an ~ms body
+        # must not explode the next round into minutes of chained work
+        scale = min(16, max(2, int(np.ceil(
+            min_signal_s * 1.5 / max(signal, 1e-4)))))
         n_small, n_big = n_small * scale, n_big * scale
 
 
@@ -214,11 +217,13 @@ def build_block_latency_table(net, params, state, space, hr_size=96,
     rng = np.random.RandomState(0)
     w = space.width
     d_min, d_max = min(space.depth_list), max(space.depth_list)
-    # stages that actually execute: X4 'sr' mode runs only the decoder
-    # trunk, so its head/tail subtraction must count space.n_stages, not
-    # n_trunks * n_stages (pass trunk_stages=space.n_stages there)
+    # stages that actually execute: get_active_subnet here is always
+    # mode='sr', which runs exactly space.n_stages trunk stages for BOTH
+    # S4 (its only trunk) and X4 (decoder only) — so that's the default;
+    # a multiplied n_trunks default would double-subtract block time on
+    # X4 and zero-poison the head/tail entry
     n_stages_total = (trunk_stages if trunk_stages is not None
-                      else space.n_stages * getattr(net, "n_trunks", 1))
+                      else space.n_stages)
     for pd in space.pixel_d_list:
         lr = hr_size // (2 ** pd)
         xb = jnp.asarray(rng.rand(batch_size, lr, lr, w), jnp.float32)
@@ -254,22 +259,23 @@ def lut_efficiency_fn(table: LatencyTable, space, hr_size=96, n_trunks=1,
     efficiency constraint, the reference's LatencyEstimator.predict_efficiency
     role with TPU-measured values.
 
-    `stage_range=(lo, hi)` restricts the billed stages (cfg.d indices):
-    the X4's 'sr' deployment mode executes only the decoder trunk, so its
-    encoder genes cost nothing — pass (n_stages, 2*n_stages) there."""
+    `stage_range=(lo, hi)` restricts the billed stages (cfg.d indices).
+    Default: the LAST trunk's stages — the LUT is built in 'sr' mode,
+    where S4 runs its only trunk and X4 runs only the decoder (the last
+    trunk), so encoder genes cost nothing and must not be billed."""
     w = space.width
-    lo_s, hi_s = stage_range or (0, space.n_stages * n_trunks)
+    lo_s, hi_s = stage_range or (space.n_stages * (n_trunks - 1),
+                                 space.n_stages * n_trunks)
 
     def fn(cfg):
         lr = hr_size // (2 ** cfg.pixel_d)
         ms = table.query("sr_head_tail", [lr, lr, 3],
                          [hr_size, hr_size, 3], pixel_d=cfg.pixel_d)
         for si in range(lo_s, hi_s):
-            for i in range(space.max_depth):
+            for i in range(cfg.d[si]):
                 bi = si * space.max_depth + i
-                if i < cfg.d[si]:
-                    ms += table.query("expanded_conv", [lr, lr, w],
-                                      [lr, lr, w], kernel=cfg.ks[bi],
-                                      expand=cfg.e[bi])
+                ms += table.query("expanded_conv", [lr, lr, w],
+                                  [lr, lr, w], kernel=cfg.ks[bi],
+                                  expand=cfg.e[bi])
         return ms
     return fn

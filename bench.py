@@ -165,14 +165,97 @@ def main():
     rtt = dispatch_rtt_ms(jax, jnp)
     peak_probe = probed_matmul_tflops(jax, jnp)
 
+    # -- the real progressive-shrinking envelope (VERDICT r3 item 5): the
+    # supernet phases train dynamic_batch_size=4 sampled subnets per
+    # optimizer step with grad accumulation + KD against the 2x teacher
+    # (reference train_ofa_net_sr_simple.py:28-93 dyn_bs 2/4;
+    # progressive_shrinking.py:158-203). Same batch/step semantics as
+    # above, n_subnets=4 + teacher forward inside the scan body.
+    multi_detail = {}
+    try:
+        from ofa_sr_tpu.models.arch import uniform_subnet as _us
+        t_space = SearchSpace(ks_list=[5], expand_list=[3], depth_list=[2],
+                              pixel_d_list=[1])
+        t_net = OFAMobileNetS4(t_space)
+        t_params, t_state = t_net.init(jax.random.PRNGKey(7))
+        t_cfg = _us(t_space, 5, 3, 2, 1)
+        tr4 = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
+                        compute_dtype=jnp.bfloat16, remat="all_save_bn",
+                        dw_switch=True, kd_ratio=1.0, teacher_net=t_net)
+        opt4 = tr4.init_opt_state(params)
+        n_inner4 = 8
+        step4 = tr4.make_scan_train_step(
+            n_subnets=4, donate=False, teacher_params=t_params,
+            teacher_state=t_state, teacher_arch=t_cfg.to_device(t_space),
+            teacher_pixel_d=1)
+        b4 = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_inner4,) + a.shape), batch)
+        archs4 = tuple(
+            jax.tree.map(
+                lambda *xs: jnp.stack([xs[(i * 4 + k) % 8]
+                                       for i in range(n_inner4)]),
+                *[c.to_device(space) for c in cfgs])
+            for k in range(4))
+        lrs4 = jnp.full((n_inner4,), 1e-4, jnp.float32)
+        p4, s4, o4 = params, state, opt4
+        p4, s4, o4, m4 = step4(p4, s4, o4, b4, archs4, lrs4)
+        warm4 = float(np.asarray(m4["loss"]))
+
+        def window4(k):
+            nonlocal p4, s4, o4
+            t0 = time.perf_counter()
+            for _ in range(k):
+                p4, s4, o4, m = step4(p4, s4, o4, b4, archs4, lrs4)
+            _ = float(np.asarray(jnp.sum(jax.tree.leaves(p4)[0])))
+            _ = float(np.asarray(m["loss"]))
+            return (time.perf_counter() - t0) * 1000
+
+        s4_ms, w4_ms = [], []
+        for _ in range(2):
+            t_small = window4(1)
+            t_big = window4(3)
+            s4_ms.append((t_big - t_small) / (2 * n_inner4))
+            w4_ms.append(t_big / (3 * n_inner4))
+        s4_ms.sort()
+        w4_ms.sort()
+        ok4 = [t for t in s4_ms if t > 0.2 * w4_ms[0]]
+        best4 = ok4[0] if ok4 else w4_ms[0]
+        multi_detail = {
+            "envelope": "bs16 96px supernet step, n_subnets=4 grad-accum + "
+                        "KD teacher forward (the expand-phase workload), "
+                        "bf16 + all_save_bn + dw_switch, scan %d/dispatch"
+                        % n_inner4,
+            "step_ms_best": round(best4, 3),
+            "imgs_per_sec": round(bs / (best4 / 1000), 2),
+            "warm_loss": round(warm4, 5),
+        }
+    except Exception as e:
+        multi_detail = {"error": f"{type(e).__name__}: {e}"[:160]}
+
     # -- deployment half of the north star: materialized-subnet inference ----
     # Reference eval envelope (eval_ofa_net_sr.py:218-220,111,167): 720p
     # frames, bs=1, subnet ks=7 e=6 d=2 pixel_d=2 (LR = 320x180).
+    # Headline = bf16, the serving/AOT-export dtype. r3 shipped a 47 ms f32
+    # number here (2.6x worse than r2) with no health guard; the r4 root-
+    # cause probe (exp/perf_f32_fold_probe.py) measured f32+fold_tail at
+    # 7.04 ms vs 13.65 unfolded on the same session — the fold is a ~1.94x
+    # win in BOTH dtypes and the r3 artifact was chip degradation mid-bench.
+    # So: probe chip health before this half too, and re-measure once if the
+    # f32/bf16 ratio lands outside the plausibility window (they measure
+    # within ~2% of each other on a stable chip — the frame is format-bound,
+    # not MXU-bound).
     from ofa_sr_tpu.models.arch import uniform_subnet
     from ofa_sr_tpu.models.materialize import get_active_subnet
 
     eval_detail = {}
     try:
+        deadline = time.time() + 300
+        while True:
+            deploy_health = probed_matmul_tflops(jax, jnp, n=20)
+            if deploy_health > 30 or time.time() > deadline:
+                break
+            time.sleep(60)
+
         sub_cfg = uniform_subnet(space, 7, 6, 2, 2)
         lr_hw = (184, 320)  # 180 rounded up to sublane-friendly 184
 
@@ -184,10 +267,34 @@ def main():
         def frame_ms_scan(sub_fn, x):
             return measure_latency_device(sub_fn, x, n_small=8, n_big=24)
 
-        subnet = get_active_subnet(net, params, state, sub_cfg)
         xf = jnp.asarray(np.random.RandomState(1).rand(1, *lr_hw, 3),
                          jnp.float32)
-        e_best = frame_ms_scan(subnet, xf)
+
+        def measure_pair():
+            subnet = get_active_subnet(net, params, state, sub_cfg)
+            f32_ms = frame_ms_scan(subnet, xf)
+            # serving dtype: the same folded subnet with bf16 weights +
+            # activations (output cast back to f32) — the AOT-export
+            # serving configuration (VERDICT r2 item 10). params carry
+            # python-int metadata leaves (ks/mid): cast arrays only.
+            sub16 = get_active_subnet(net, params, state, sub_cfg)
+            sub16.params = jax.tree.map(
+                lambda a: (a.astype(jnp.bfloat16)
+                           if hasattr(a, "astype") else a),
+                sub16.params)
+            bf16_ms = frame_ms_scan(
+                lambda v: sub16(v).astype(jnp.float32),
+                xf.astype(jnp.bfloat16))
+            return f32_ms, bf16_ms
+
+        f32_ms, bf16_ms = measure_pair()
+        retried = False
+        if not (0.5 < f32_ms / bf16_ms < 2.0):  # r3 failure mode: one half
+            time.sleep(60)                       # hit a degraded-chip window
+            f32_b, bf16_b = measure_pair()
+            f32_ms, bf16_ms = min(f32_ms, f32_b), min(bf16_ms, bf16_b)
+            retried = True
+
         from ofa_sr_tpu.search.flops import s4_subnet_flops
         e_macs = s4_subnet_flops(sub_cfg, space,
                                  hr_size=(lr_hw[0] * 4, lr_hw[1] * 4))
@@ -196,28 +303,19 @@ def main():
             "envelope": "materialized ks7/e6/d2/pd2 subnet, 720p frame "
                         "(LR 320x184), bs=1, frames scan-chained in-device, "
                         "slope-timed, fold_tail (output conv folded through "
-                        "the last pixel_shuffle — 1.94x on the device "
-                        "timeline, models/materialize.py)",
-            "frame_ms_best": round(e_best, 3),
-            "frames_per_sec": round(1000 / e_best, 2),
-            "vs_bf16_sol": round((e_flops / (e_best / 1000))
+                        "the last pixel_shuffle — measured 1.94x in BOTH "
+                        "dtypes, exp/perf_f32_fold_probe.py)",
+            "frame_ms_best": round(bf16_ms, 3),
+            "frames_per_sec": round(1000 / bf16_ms, 2),
+            "serving_dtype": "bf16 (weights+activations, f32 output)",
+            "vs_bf16_sol": round((e_flops / (bf16_ms / 1000))
                                  / PEAK_FLOPS["bf16"], 4),
-        }
-        # serving dtype: the same folded subnet with bf16 weights +
-        # activations (output cast back to f32) — the AOT-export serving
-        # configuration (VERDICT r2 item 10)
-        sub16 = get_active_subnet(net, params, state, sub_cfg)
-        # params carry python-int metadata leaves (ks/mid): cast arrays only
-        sub16.params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16) if hasattr(a, "astype") else a,
-            sub16.params)
-        b_best = frame_ms_scan(lambda v: sub16(v).astype(jnp.float32),
-                               xf.astype(jnp.bfloat16))
-        eval_detail["bf16"] = {
-            "frame_ms_best": round(b_best, 3),
-            "frames_per_sec": round(1000 / b_best, 2),
-            "vs_bf16_sol": round((e_flops / (b_best / 1000))
-                                 / PEAK_FLOPS["bf16"], 4),
+            "deploy_health_tflops": round(deploy_health, 1),
+            "plausibility_retry": retried,
+            "f32": {
+                "frame_ms_best": round(f32_ms, 3),
+                "frames_per_sec": round(1000 / f32_ms, 2),
+            },
         }
     except Exception as e:  # eval bench is auxiliary — never sink the bench
         eval_detail = dict(eval_detail)  # keep whatever finished
@@ -278,6 +376,7 @@ def main():
             "speed_of_light_imgs_per_sec": round(sol_imgs_per_sec, 1),
             "vs_baseline_meaning": "fraction of bf16 MXU speed-of-light for "
                                    "the executed (sampled-subnet) conv FLOPs",
+            "multi_subnet_kd": multi_detail,
             "deployment": eval_detail,
         },
     }))
@@ -300,9 +399,12 @@ def main_with_retry(retries=2):
         try:
             # a wedged chip can hang a dispatch rather than fail it; bound the
             # child so the retry actually fires (advisor r2)
+            # the r4 bench carries three envelopes (1-subnet train,
+            # 4-subnet+KD train, deployment), each with its own relay
+            # compile — budget accordingly
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env={**os.environ, "OFA_BENCH_INNER": "1"},
-                               capture_output=True, text=True, timeout=1800)
+                               capture_output=True, text=True, timeout=2400)
         except subprocess.TimeoutExpired as e:
             sys.stderr.write("bench attempt %d timed out after %ds\n"
                              % (attempt, e.timeout))

@@ -465,7 +465,22 @@ def main():
     ap.add_argument("--phase_lr", type=float, default=2.5e-4)
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--skip_jax", action="store_true")
+    ap.add_argument("--compile_cache", type=str,
+                    default="/tmp/ofa_xla_cache",
+                    help="persistent XLA compilation cache dir ('' = off). "
+                         "The r3 curriculum paid ~13x over the torch oracle "
+                         "almost entirely in recompiles of the same phase "
+                         "programs (VERDICT r3 weak #6); the cache makes "
+                         "re-runs and stage resumes start hot.")
     a = ap.parse_args()
+    if a.compile_cache and not a.skip_jax:
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", a.compile_cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception as e:  # cache is an optimization, never a blocker
+            print("compilation cache unavailable: %s" % e)
     if a.data_root is None:
         a.data_root = os.path.join(a.out, "data")
     os.makedirs(a.out, exist_ok=True)

@@ -164,7 +164,7 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                  act="relu6", training=False, bn_cfg=None, stride=1,
                  se_mid=None, expand_switch=False, out_ch=None,
                  spatial_mask=None, remat_pair=False, ks_switch=False,
-                 dw_switch=False):
+                 dw_switch=False, dw_opts=None):
     if out_ch is not None or spatial_mask is not None:
         # elastic output width / bucketed-eval spatial masking: masked
         # execution only
@@ -174,7 +174,8 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                                     stride=stride, se_mid=se_mid,
                                     out_ch=out_ch, spatial_mask=spatial_mask,
                                     remat_pair=remat_pair,
-                                    ks_switch=ks_switch, dw_switch=dw_switch)
+                                    ks_switch=ks_switch, dw_switch=dw_switch,
+                                    dw_opts=dw_opts)
     if expand_switch and "se" not in p and len(space.expand_list) > 1:
         # compile one branch per expand option: only the sampled width's
         # FLOPs execute (masking always pays the max width). Inside a
@@ -196,32 +197,73 @@ def mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                                 training=training, bn_cfg=bn_cfg,
                                 stride=stride, se_mid=se_mid,
                                 remat_pair=remat_pair, ks_switch=ks_switch,
-                                dw_switch=dw_switch)
+                                dw_switch=dw_switch, dw_opts=dw_opts)
 
 
-def _dw_mid_candidates(p, space: SearchSpace):
+def _dw_mid_candidates(p, space: SearchSpace, e_list=None, align=None):
     """Static middle-width candidates for this block, from its own weight
     shapes (reference mid rule make_divisible(round(in*e), 8),
-    dynamic_layers.py:75-77), capped at the bank width."""
+    dynamic_layers.py:75-77), capped at the bank width.
+
+    `e_list` narrows the enumeration to the live expand options (shrink-phase
+    `set_constraint`, progressive_shrinking.py:295-307): fewer compiled
+    branches, same exactness for archs sampled under the same constraint.
+    `align` rounds each candidate UP to a multiple (e.g. 128 = the TPU lane
+    tile): branches with mk above `mid` stay exact (channels >= mid are
+    zero), candidates collapse together (fewer branches) and the switch-seam
+    buffers land on tile boundaries — the r3 trace attributed 27% of the
+    step to seam formatting copies (DESIGN.md §7.1)."""
     from ..utils.common import make_divisible
     in_ch = p["inverted_bottleneck"]["conv"]["w"].shape[2]
     max_mid = p["depth_conv"]["conv"]["w"].shape[-1]
-    mids = sorted({min(make_divisible(round(in_ch * e), 8), max_mid)
-                   for e in space.expand_list})
-    return mids
+    es = space.expand_list if e_list is None else e_list
+    mids = {min(make_divisible(round(in_ch * e), 8), max_mid) for e in es}
+    if align:
+        mids = {min(-(-m // align) * align, max_mid) for m in mids}
+    return sorted(mids)
 
 
-def _dw_switched(p, y, space: SearchSpace, ks_idx, mid, use_t, stride):
+def _dw_live_lists(p, space: SearchSpace, dw_live, align=None):
+    """Resolve the (kernel sizes, mid widths, ks index remap) the dw switch
+    enumerates. `dw_live = (ks_list, e_list)` (either may be None) narrows
+    the branch set to a shrink phase's live constraint lists
+    (set_constraint, progressive_shrinking.py:295-307). Exactness contract:
+    every sampled arch's (ks, mid) must come from the same lists — the run
+    manager derives both the sampler candidates and dw_live from one
+    constraints dict, so they cannot disagree. Off-list values are clamped
+    to the nearest branch (lax.switch semantics), which is only exact for
+    mids below a live candidate (the zero-channel argument)."""
+    ks_all = sorted(set(space.ks_list))
+    live_ks, live_e = (dw_live or (None, None))
+    ks_set = (sorted(set(live_ks) & set(ks_all)) or ks_all) if live_ks \
+        else ks_all
+    mids = _dw_mid_candidates(p, space, e_list=live_e, align=align)
+    if ks_set == ks_all:
+        remap = None
+    else:
+        remap = jnp.asarray([ks_all.index(k) for k in ks_set])
+    return ks_set, mids, remap
+
+
+def _dw_switched(p, y, space: SearchSpace, ks_idx, mid, use_t, stride,
+                 dw_live=None, seam="pad", align=None):
     """lax.switch over (kernel size x middle width) for the depthwise conv
     only: the sampled branch runs k x k taps on the first `mk` channels and
     zero-pads back to the bank width. See the call site for the exactness
-    argument; equivalence pinned by tests/test_dw_switch.py."""
+    argument; equivalence pinned by tests/test_dw_switch.py.
+
+    `dw_live` narrows the enumerated branches to a shrink phase's live
+    (ks, e) lists; `align` rounds width candidates up to a lane-tile
+    multiple; `seam` picks how the narrow branch output rejoins the bank
+    width ('pad' = jnp.pad, 'dus' = dynamic_update_slice into zeros) —
+    three levers on the switch-seam copies the r3 trace measured at 27% of
+    the step (DESIGN.md §7.1)."""
     w_bank = p["depth_conv"]["conv"]["w"]
     max_mid = w_bank.shape[-1]
-    ks_set = sorted(set(space.ks_list))
-    mids = _dw_mid_candidates(p, space)
+    ks_set, mids, remap = _dw_live_lists(p, space, dw_live, align=align)
     e_idx = jnp.searchsorted(jnp.asarray(mids),
                              jnp.minimum(mid, mids[-1]))
+    k_idx = ks_idx if remap is None else jnp.searchsorted(remap, ks_idx)
 
     def dw_branch(ks, mk):
         eff = transform_kernel_chain(
@@ -232,6 +274,9 @@ def _dw_switched(p, y, space: SearchSpace, ks_idx, mid, use_t, stride):
             out = depthwise_conv2d(yy[:, :, :, :mk], eff, stride=stride)
             if mk == max_mid:
                 return out
+            if seam == "dus":
+                buf = jnp.zeros(out.shape[:3] + (max_mid,), out.dtype)
+                return lax.dynamic_update_slice(buf, out, (0, 0, 0, 0))
             return jnp.pad(out, ((0, 0), (0, 0), (0, 0),
                                  (0, max_mid - mk)))
         return run
@@ -239,11 +284,11 @@ def _dw_switched(p, y, space: SearchSpace, ks_idx, mid, use_t, stride):
     branches = [dw_branch(ks, mk) for ks in ks_set for mk in mids]
     if len(branches) == 1:
         return branches[0](y)
-    return lax.switch(ks_idx * len(mids) + e_idx, branches, y)
+    return lax.switch(k_idx * len(mids) + e_idx, branches, y)
 
 
 def _dwp_switched(p, s, y, space: SearchSpace, ks_idx, mid, use_t, stride, *,
-                  act, training, bn_cfg):
+                  act, training, bn_cfg, dw_live=None):
     """lax.switch over (kernel size x middle width) covering depthwise ->
     BN -> act -> project 1x1 — `dw_switch="project"`. Versus `_dw_switched`
     the branch result is the block-width projection (e.g. 64 ch) instead of
@@ -269,9 +314,9 @@ def _dwp_switched(p, s, y, space: SearchSpace, ks_idx, mid, use_t, stride, *,
     bn_cfg = bn_cfg or {}
     w_bank = p["depth_conv"]["conv"]["w"]
     w_pl = p["point_linear"]["conv"]["w"]
-    ks_set = sorted(set(space.ks_list))
-    mids = _dw_mid_candidates(p, space)
+    ks_set, mids, remap = _dw_live_lists(p, space, dw_live)
     e_idx = jnp.searchsorted(jnp.asarray(mids), jnp.minimum(mid, mids[-1]))
+    k_idx = ks_idx if remap is None else jnp.searchsorted(remap, ks_idx)
     bn_p, bn_s = p["depth_conv"]["bn"], s["depth_conv"]["bn"]
     use_kt = use_t
 
@@ -297,13 +342,14 @@ def _dwp_switched(p, s, y, space: SearchSpace, ks_idx, mid, use_t, stride, *,
     branches = [branch(ks, mk) for ks in ks_set for mk in mids]
     if len(branches) == 1:
         return branches[0](y)
-    return lax.switch(ks_idx * len(mids) + e_idx, branches, y)
+    return lax.switch(k_idx * len(mids) + e_idx, branches, y)
 
 
 def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
                          act="relu6", training=False, bn_cfg=None, stride=1,
                          se_mid=None, out_ch=None, spatial_mask=None,
-                         remat_pair=False, ks_switch=False, dw_switch=False):
+                         remat_pair=False, ks_switch=False, dw_switch=False,
+                         dw_opts=None):
     """Masked-execution MBConv. `ks_idx` indexes sorted(set(ks_list)); `mid`
     is the active middle width (both traced int32 scalars); `se_mid` the
     active SE bottleneck width when the block has squeeze-excite.
@@ -318,6 +364,7 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
     on them is irrelevant (DynamicSE, dynamic_op.py:175-200).
     """
     bn_cfg = bn_cfg or {}
+    dw_opts = dw_opts or {}
     max_mid = p["depth_conv"]["conv"]["w"].shape[-1]
     mask = channel_mask(mid, max_mid, x.dtype)
     new_s = {}
@@ -351,7 +398,8 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
         ks_set = sorted(set(space.ks_list))
         if use_dwp:
             y = _dwp_switched(p, s, y, space, ks_idx, mid, use_t, stride,
-                              act=act, training=training, bn_cfg=bn_cfg)
+                              act=act, training=training, bn_cfg=bn_cfg,
+                              dw_live=dw_opts.get("live"))
             # y is (out, bn_dw_state): block-width projection + dw BN state
             return y[0], (bn_ib, y[1])
         if dw_switch:
@@ -370,7 +418,10 @@ def _masked_mbconv_apply(p, s, x, space: SearchSpace, ks_idx, mid, *,
             # ks_switch's. `mk` is the smallest candidate >= mid
             # (searchsorted left), so runtime widths off the candidate
             # grid (cls width_mult) stay exact, just with less savings.
-            y = _dw_switched(p, y, space, ks_idx, mid, use_t, stride)
+            y = _dw_switched(p, y, space, ks_idx, mid, use_t, stride,
+                             dw_live=dw_opts.get("live"),
+                             seam=dw_opts.get("seam", "pad"),
+                             align=dw_opts.get("align"))
         elif ks_switch and len(ks_set) > 1:
             # compile one depthwise branch per kernel size: the sampled ks
             # executes only its own k x k taps instead of the window-masked
@@ -491,7 +542,7 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                          ks_idx, mid, depth, *, act="relu6", training=False,
                          bn_cfg=None, remat=False, expand_switch=False,
                          spatial_mask=None, ks_switch=False, dw_switch=False,
-                         s2d=False):
+                         dw_opts=None, s2d=False):
     """One elastic stage: up to max_depth MBConv blocks with identity
     shortcuts (MobileInvertedResidualBlock, proxyless_nets.py:36-72), the
     first `depth` of them active (runtime_depth truncation,
@@ -519,7 +570,8 @@ def residual_stage_apply(blocks_p, blocks_s, x, space: SearchSpace,
                                 expand_switch=expand_switch,
                                 spatial_mask=spatial_mask,
                                 remat_pair=(remat == "pair"),
-                                ks_switch=ks_switch, dw_switch=dw_switch)
+                                ks_switch=ks_switch, dw_switch=dw_switch,
+                                dw_opts=dw_opts)
 
     # rematerialize block activations in the backward pass. Modes:
     #   False          — keep everything (full residuals x 16 blocks exceed

@@ -331,7 +331,8 @@ class ElasticClassifierNet:
                                 stride=stride, se_mid=sm_i,
                                 out_ch=o_i if elastic_out else None,
                                 ks_switch=getattr(self, "ks_switch", False),
-                                dw_switch=getattr(self, "dw_switch", False))
+                                dw_switch=getattr(self, "dw_switch", False),
+                                dw_opts=getattr(self, "dw_opts", None))
 
         if remat:
             block_fn = jax.checkpoint(block_fn, static_argnums=(7, 8, 9))

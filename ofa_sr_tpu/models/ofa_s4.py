@@ -153,6 +153,7 @@ class OFAMobileNetS4:
                 expand_switch=getattr(self, 'expand_switch', False),
                 ks_switch=getattr(self, 'ks_switch', False),
                 dw_switch=getattr(self, 'dw_switch', False),
+                dw_opts=getattr(self, 'dw_opts', None),
                 spatial_mask=smask, s2d=use_s2d)
             blocks_new_s.extend(stage_s)
         new_s["blocks"] = blocks_new_s

@@ -147,6 +147,7 @@ class OFAMobileNetX4:
                 expand_switch=getattr(self, 'expand_switch', False),
                 ks_switch=getattr(self, 'ks_switch', False),
                 dw_switch=getattr(self, 'dw_switch', False),
+                dw_opts=getattr(self, 'dw_opts', None),
                 spatial_mask=spatial_mask)
             new_states.extend(stage_s)
         return x, new_states

@@ -193,13 +193,8 @@ class SRRunManager:
                 remat=run_config.remat, ks_switch=run_config.ks_switch,
                 dw_switch=run_config.dw_switch, s2d=run_config.s2d)
         self.opt_state = self.trainer.init_opt_state(self.params)
-        self._train_step = self.trainer.make_train_step(
-            n_subnets=run_config.dynamic_batch_size, donate=False, **teacher_kw)
-        self._scan_step = (
-            self.trainer.make_scan_train_step(
-                n_subnets=run_config.dynamic_batch_size, donate=False,
-                **teacher_kw)
-            if run_config.steps_per_dispatch > 1 else None)
+        self._teacher_kw = teacher_kw
+        self._build_train_steps()
         self._eval_step = self.trainer.make_eval_step()
 
         if self.mesh is not None:
@@ -212,6 +207,48 @@ class SRRunManager:
             self.opt_state = shard_params(self.opt_state, self.mesh)
 
         self._write_net_info()
+
+    def _build_train_steps(self):
+        rc = self.run_config
+        self._train_step = self.trainer.make_train_step(
+            n_subnets=rc.dynamic_batch_size, donate=False,
+            **self._teacher_kw)
+        self._scan_step = (
+            self.trainer.make_scan_train_step(
+                n_subnets=rc.dynamic_batch_size, donate=False,
+                **self._teacher_kw)
+            if rc.steps_per_dispatch > 1 else None)
+
+    def _apply_dw_live(self, constraints):
+        """Shrink-phase compile-time branch support: when the dw switch is on
+        and this train() call is constrained to a subset of ks/expand options
+        (set_constraint, progressive_shrinking.py:295-307), rebuild the train
+        steps so _dw_switched enumerates only the live branches — e.g. the
+        expand phase's first stage compiles 6 dw branches instead of 9
+        (models/layers._dw_live_lists). The sampler draws from the very same
+        constraints dict, so the executed archs always lie on the enumerated
+        branch grid. Eval steps strip the narrowing (train_step.make_eval_step)
+        so validation grids over the full space stay exact."""
+        if not self.run_config.dw_switch:
+            return
+        cons = constraints or {}
+        live = None
+        if "ks_candidates" in cons or "expand_candidates" in cons:
+            ks_c = cons.get("ks_candidates")
+            e_c = cons.get("expand_candidates")
+            live = (tuple(ks_c) if ks_c else None,
+                    tuple(e_c) if e_c else None)
+            if live == (None, None):
+                live = None
+        opts = dict(getattr(self.trainer.net, "dw_opts", None) or {})
+        if opts.get("live") == live:
+            return
+        if live is None:
+            opts.pop("live", None)
+        else:
+            opts["live"] = live
+        self.trainer.net.dw_opts = opts or None
+        self._build_train_steps()
 
     def _to_device(self, batch):
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -484,6 +521,7 @@ class SRRunManager:
         fixed_cfg pins every step to one exact architecture (oracle
         one_arch_overfit)."""
         rc = self.run_config
+        self._apply_dw_live(constraints)
         for epoch in range(self.start_epoch, rc.n_epochs + rc.warmup_epochs):
             t0 = time.time()
             tr_loss, tr_psnr = self.train_one_epoch(epoch, constraints,

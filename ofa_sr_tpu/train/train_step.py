@@ -65,7 +65,7 @@ class SRTrainer:
                  mode: str = "sr", bn_frozen: bool = False,
                  teacher_net=None, compute_dtype=None, remat=None,
                  expand_switch=False, ks_switch=False, dw_switch=False,
-                 s2d=False):
+                 dw_opts=None, s2d=False):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -104,6 +104,17 @@ class SRTrainer:
         # the mean sampled subnet needs ~0.41 of it. Exact vs masking
         # (tests/test_dw_switch.py); measured numbers in NOTES_ROUND3.
         net.dw_switch = dw_switch
+        # dw_opts tunes the dw switch's branch set / seam:
+        #   {'live': (ks_list, e_list)} — enumerate only a shrink phase's
+        #     live constraint lists (set_constraint) so e.g. the expand
+        #     phase's first stage compiles 6 branches, not 9. The sampled
+        #     archs MUST come from the same lists (run_manager derives both
+        #     from one constraints dict).
+        #   {'seam': 'pad'|'dus'} — how the narrow branch output rejoins
+        #     the bank width.
+        #   {'align': 128} — round width candidates up to the lane tile
+        #     (fewer branches, tile-aligned seam buffers; still exact).
+        net.dw_opts = dw_opts
         # s2d: execute the trunk in space-to-depth layout — block-diagonal
         # 4x-deep 1x1 contractions for the MXU, exact (ops/s2d.py). S4 only;
         # decision probe: exp/perf_s2d_probe.py.
@@ -313,12 +324,28 @@ class SRTrainer:
         donate_argnums = (0, 1, 2) if donate else ()
         return jax.jit(scan_steps, donate_argnums=donate_argnums)
 
+    def _without_dw_live(self, fn):
+        """Trace `fn` with any dw_opts['live'] narrowing stripped: eval
+        grids walk the FULL space (validate_grid), so an eval program traced
+        mid-shrink-stage must enumerate every branch, not the stage's live
+        subset. Trace-time only — the attribute is restored immediately."""
+        opts = getattr(self.net, "dw_opts", None)
+        if not (opts and "live" in opts):
+            return fn()
+        self.net.dw_opts = {k: v for k, v in opts.items()
+                            if k != "live"} or None
+        try:
+            return fn()
+        finally:
+            self.net.dw_opts = opts
+
     def make_eval_step(self):
         """Per-batch evaluation (SRRunManager.validate, sr_run_manager.py:
         323-393): MSE loss + PSNR-Y against HR, BN in eval mode."""
 
         def step(params, state, batch, arch):
-            out, _ = self._forward(params, state, batch, arch, training=False)
+            out, _ = self._without_dw_live(lambda: self._forward(
+                params, state, batch, arch, training=False))
             hr = batch["image"]
             loss = jnp.mean(jnp.square(out - hr))
             return {"loss": loss, "psnr": psnr_y_device(out, hr), "output": out}
@@ -336,6 +363,10 @@ class SRTrainer:
         from ..ops.elastic import spatial_valid_mask
 
         def step(params, state, batch, arch):
+            return self._without_dw_live(
+                lambda: _body(params, state, batch, arch))
+
+        def _body(params, state, batch, arch):
             hr = batch["image"]
             valid_hw = batch["valid_hw"]
             if self.mode == "autoencoder":

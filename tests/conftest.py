@@ -43,6 +43,7 @@ _SLOW_MODULES = {
     "test_autoencoder_infer",
     "test_expand_switch",
     "test_ks_switch",
+    "test_dw_switch",
     "test_s2d",
 }
 

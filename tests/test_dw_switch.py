@@ -108,6 +108,120 @@ def test_dw_switch_cls_mbv3_exact(mode):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dw_live_narrowing_exact():
+    """dw_opts['live'] (shrink-phase set_constraint lists threaded into the
+    branch enumeration, layers._dw_live_lists): archs sampled under the same
+    constraint lists execute exactly as masked, with fewer compiled
+    branches. Covers ks-narrowing (index remap), e-narrowing (fewer mids),
+    and both together."""
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 8, 8, 3), jnp.float32)
+    for live_ks, live_e in [((5, 7), None), (None, (3,)), ((3, 5), (2, 3)),
+                            ((7,), (3,))]:
+        ks_c = list(live_ks) if live_ks else None
+        e_c = list(live_e) if live_e else None
+        for seed in range(4):
+            cfg = sample_subnet(SMALL, seed=seed, ks_candidates=ks_c,
+                                expand_candidates=e_c)
+            arch = cfg.to_device(SMALL)
+            net.dw_switch = False
+            net.dw_opts = None
+            y0, s0 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d,
+                               training=True)
+            net.dw_switch = True
+            net.dw_opts = {"live": (live_ks, live_e)}
+            y1, s1 = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d,
+                               training=True)
+            net.dw_switch = False
+            net.dw_opts = None
+            np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                       rtol=1e-5, atol=1e-5)
+            for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-5)
+
+
+def test_dw_seam_and_align_exact():
+    """The 'dus' seam and lane-aligned width candidates are numerically
+    identical to the default pad seam (and to masked execution): a branch
+    with mk >= mid is exact because channels >= mid are zero. align=32 at
+    width 8 collapses the {16, 24} candidates to {24} — the off-candidate
+    branch case."""
+    net = OFAMobileNetS4(SMALL)
+    p, s = net.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 8, 8, 3), jnp.float32)
+    for opts in ({"seam": "dus"}, {"align": 32}, {"seam": "dus", "align": 16}):
+        for seed in range(3):
+            cfg = sample_subnet(SMALL, seed=seed)
+            arch = cfg.to_device(SMALL)
+            net.dw_switch = False
+            net.dw_opts = None
+            y0, _ = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d,
+                              training=False)
+            net.dw_switch = True
+            net.dw_opts = opts
+            y1, _ = net.apply(p, s, x, arch, pixel_d=cfg.pixel_d,
+                              training=False)
+            net.dw_switch = False
+            net.dw_opts = None
+            np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_run_manager_applies_dw_live_and_stays_exact(tmp_path):
+    """SRRunManager.train(constraints=...) with dw_switch narrows the
+    compiled branch set (_apply_dw_live) without changing a single update:
+    one constrained training step (expand_candidates=[3]) produces the same
+    params as the full-branch dw_switch step, and the eval step (which
+    strips the narrowing) still validates a FULL-space corner exactly."""
+    from ofa_sr_tpu.data.providers import SyntheticSRProvider
+    from ofa_sr_tpu.train import RunConfig, SRRunManager
+
+    provider = SyntheticSRProvider(n_train=2, n_valid=1, hr_size=8,
+                                   train_batch_size=2)
+    results = {}
+    for name, dws, cons in (("masked", False, None),
+                            ("dw_full", True, None),
+                            ("dw_live", True, {"expand_candidates": [3]})):
+        rc = RunConfig(n_epochs=1, base_lr=1e-2, image_size=8,
+                       train_batch_size=2, dw_switch=dws,
+                       validation_frequency=10, print_frequency=100,
+                       manual_seed=0)
+        rm = SRRunManager(str(tmp_path / name), OFAMobileNetS4(SMALL), rc,
+                          provider)
+        rm.train(constraints=cons)
+        results[name] = rm
+    # constrained sampling changes the archs, so compare dw_live against a
+    # masked run under the SAME constraints instead of against dw_full
+    rc = RunConfig(n_epochs=1, base_lr=1e-2, image_size=8,
+                   train_batch_size=2, dw_switch=False,
+                   validation_frequency=10, print_frequency=100,
+                   manual_seed=0)
+    rm_ref = SRRunManager(str(tmp_path / "masked_cons"), OFAMobileNetS4(SMALL),
+                          rc, provider)
+    rm_ref.train(constraints={"expand_candidates": [3]})
+    live = results["dw_live"]
+    assert live.trainer.net.dw_opts == {"live": (None, (3,))}
+    # the sliced dw's reduction tiling differs from the masked full-width
+    # conv's at the ULP level (same basis as test_dw_switch_cls_mbv3_exact);
+    # an epoch of Adam amplifies that through the sqrt(v) normalizer —
+    # measured max drift 2e-4 on one element of 1600 after 1 epoch
+    for a, b in zip(jax.tree.leaves(live.params),
+                    jax.tree.leaves(rm_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+    # eval with the narrowing active, on an arch OUTSIDE the live e list:
+    # make_eval_step strips 'live', so this must match the masked manager's
+    # validate bit-for-bit given identical params
+    from ofa_sr_tpu.models.arch import uniform_subnet
+    cfg = uniform_subnet(SMALL, 7, 2, 2, 1)  # e=2 not in live (3,)
+    l_live, p_live = live.validate(cfg)
+    rm_ref.params, rm_ref.state = live.params, live.state
+    l_ref, p_ref = rm_ref.validate(cfg)
+    assert abs(p_live - p_ref) < 1e-4 and abs(l_live - l_ref) < 1e-6
+
+
 def test_dw_switch_trainer_gradients_match():
     net_a = OFAMobileNetS4(SMALL)
     p, s = net_a.init(jax.random.PRNGKey(1))

@@ -78,14 +78,8 @@ class ClsRunManager:
             ks_switch=run_config.ks_switch,
             dw_switch=run_config.dw_switch)
         self.opt_state = self.trainer.init_opt_state(self.params)
-        self._train_step = self.trainer.make_train_step(
-            n_subnets=run_config.dynamic_batch_size, **teacher_kw)
-        # device-side multi-step path (amortizes per-step dispatch RTT on a
-        # relay-attached chip — the SR manager's steps_per_dispatch)
-        self._scan_step = (
-            self.trainer.make_scan_train_step(
-                n_subnets=run_config.dynamic_batch_size, **teacher_kw)
-            if run_config.steps_per_dispatch > 1 else None)
+        self._teacher_kw = teacher_kw
+        self._build_train_steps()
         self._eval_step = self.trainer.make_eval_step()
         self._rng = jax.random.PRNGKey(run_config.manual_seed + 1)
 
@@ -94,6 +88,43 @@ class ClsRunManager:
             self.params = shard_params(self.params, self.mesh)
             self.state = shard_params(self.state, self.mesh)
             self.opt_state = shard_params(self.opt_state, self.mesh)
+
+    def _build_train_steps(self):
+        rc = self.run_config
+        self._train_step = self.trainer.make_train_step(
+            n_subnets=rc.dynamic_batch_size, **self._teacher_kw)
+        # device-side multi-step path (amortizes per-step dispatch RTT on a
+        # relay-attached chip — the SR manager's steps_per_dispatch)
+        self._scan_step = (
+            self.trainer.make_scan_train_step(
+                n_subnets=rc.dynamic_batch_size, **self._teacher_kw)
+            if rc.steps_per_dispatch > 1 else None)
+
+    def _apply_dw_live(self, constraints):
+        """Shrink-phase compile-time branch support — same contract as
+        SRRunManager._apply_dw_live: the sampler and the dw-switch branch
+        enumeration read the same constraints dict, so a constrained stage's
+        step compiles only the live (ks x width) branches."""
+        if not self.run_config.dw_switch:
+            return
+        cons = constraints or {}
+        live = None
+        if "ks_candidates" in cons or "expand_candidates" in cons:
+            ks_c = cons.get("ks_candidates")
+            e_c = cons.get("expand_candidates")
+            live = (tuple(ks_c) if ks_c else None,
+                    tuple(e_c) if e_c else None)
+            if live == (None, None):
+                live = None
+        opts = dict(getattr(self.trainer.net, "dw_opts", None) or {})
+        if opts.get("live") == live:
+            return
+        if live is None:
+            opts.pop("live", None)
+        else:
+            opts["live"] = live
+        self.trainer.net.dw_opts = opts or None
+        self._build_train_steps()
 
     def _to_device(self, batch):
         dev = {"image": jnp.asarray(batch["image"]),
@@ -245,6 +276,7 @@ class ClsRunManager:
 
     def train(self, constraints=None, validate_archs=None):
         rc = self.run_config
+        self._apply_dw_live(constraints)
         for epoch in range(self.start_epoch, rc.n_epochs + rc.warmup_epochs):
             t0 = time.time()
             tr_loss, tr_top1 = self.train_one_epoch(epoch, constraints)

@@ -49,7 +49,7 @@ class ClsTrainer:
                  momentum=0.9, nesterov=True, label_smoothing=0.1,
                  kd_ratio=0.0, kd_type="ce", teacher_net=None,
                  bn_frozen=False, compute_dtype=None, remat=True,
-                 ks_switch=False, dw_switch=False):
+                 ks_switch=False, dw_switch=False, dw_opts=None):
         self.net = net
         self.opt_type = opt_type
         self.weight_decay = weight_decay
@@ -69,6 +69,9 @@ class ClsTrainer:
         net.ks_switch = ks_switch
         # depthwise (ks x mid-width) branches (models/layers.py dw_switch)
         net.dw_switch = dw_switch
+        # branch-set tuning: live constraint lists / seam / alignment
+        # (see train_step.SRTrainer dw_opts)
+        net.dw_opts = dw_opts
         self._tx = None
 
     def tx(self, params):
@@ -215,10 +218,24 @@ class ClsTrainer:
         return jax.jit(scan_steps,
                        donate_argnums=(0, 1, 2) if donate else ())
 
+    def _without_dw_live(self, fn):
+        """Trace with dw_opts['live'] stripped — eval walks the full space
+        (see train_step.SRTrainer._without_dw_live)."""
+        opts = getattr(self.net, "dw_opts", None)
+        if not (opts and "live" in opts):
+            return fn()
+        self.net.dw_opts = {k: v for k, v in opts.items()
+                            if k != "live"} or None
+        try:
+            return fn()
+        finally:
+            self.net.dw_opts = opts
+
     def make_eval_step(self):
         def step(params, state, batch, arch):
-            logits, _ = self.net.apply(params, state, batch["image"], arch,
-                                       training=False)
+            logits, _ = self._without_dw_live(
+                lambda: self.net.apply(params, state, batch["image"], arch,
+                                       training=False))
             return {
                 "loss": cross_entropy(logits, batch["label"]),
                 "top1": topk_accuracy(logits, batch["label"], 1),

@@ -44,6 +44,7 @@ _SLOW_MODULES = {
     "test_expand_switch",
     "test_ks_switch",
     "test_dw_switch",
+    "test_pallas",
     "test_s2d",
 }
 

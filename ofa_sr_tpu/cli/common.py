@@ -29,6 +29,11 @@ def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
     parser.add_argument("--image_size", type=int, default=image_size)
     parser.add_argument("--opt_type", type=str, default="adam")
     parser.add_argument("--weight_decay", type=float, default=3e-5)
+    parser.add_argument("--clip_grad_norm", type=float, default=0,
+                        help="global-norm gradient clipping; 0 = off (the "
+                             "reference never clips). Guard for long "
+                             "frozen-BN SR schedules, which can blow up "
+                             "mid-run (optim.TorchOpt).")
     parser.add_argument("--manual_seed", type=int, default=0)
     parser.add_argument("--validation_frequency", type=int, default=1)
     parser.add_argument("--print_frequency", type=int, default=10)

@@ -61,6 +61,7 @@ def main(argv=None):
         **perf_config_kw(args),
         n_epochs=args.n_epochs, base_lr=args.base_lr,
         opt_type=args.opt_type, weight_decay=args.weight_decay,
+        clip_grad_norm=args.clip_grad_norm or None,
         train_batch_size=args.base_batch_size, dynamic_batch_size=1,
         validation_frequency=args.validation_frequency,
         print_frequency=args.print_frequency,

@@ -53,6 +53,7 @@ def main(argv=None):
         n_epochs=args.n_epochs, base_lr=args.base_lr,
         warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
         opt_type=args.opt_type, weight_decay=args.weight_decay,
+        clip_grad_norm=args.clip_grad_norm or None,
         train_batch_size=args.base_batch_size,
         validation_frequency=args.validation_frequency,
         print_frequency=args.print_frequency,

@@ -91,13 +91,22 @@ class TorchOpt:
     run_manager.py:115-133)."""
 
     def __init__(self, opt_type="adam", weight_decay=0.0, params_mask=None,
-                 momentum=0.9, nesterov=True, b1=0.9, b2=0.999, eps=1e-8):
+                 momentum=0.9, nesterov=True, b1=0.9, b2=0.999, eps=1e-8,
+                 clip_grad_norm=None):
         self.opt_type = opt_type
         self.weight_decay = weight_decay
         self.params_mask = params_mask  # True where decay applies
         self.momentum = momentum
         self.nesterov = nesterov
         self.b1, self.b2, self.eps = b1, b2, eps
+        # global-norm gradient clipping (torch.nn.utils.clip_grad_norm_
+        # semantics: applied to the raw grads BEFORE weight decay joins
+        # them, like clipping before optimizer.step()). None/0 = off.
+        # Off by default — the reference never clips — but long frozen-BN
+        # SR schedules can blow up mid-run (a 20,000x loss spike was
+        # measured at epoch 98 of an 800-epoch teacher run, r4); this is
+        # the standard guard.
+        self.clip_grad_norm = clip_grad_norm
 
     def init(self, params):
         zeros = jax.tree.map(jnp.zeros_like, params)
@@ -125,6 +134,11 @@ class TorchOpt:
         wd = self._wd_tree(params)
         if touched is None:
             touched = jax.tree.map(lambda p: jnp.asarray(True), params)
+        if self.clip_grad_norm:
+            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                                 for g in jax.tree.leaves(grads)))
+            scale = jnp.minimum(1.0, self.clip_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
 
         if self.opt_type == "adam":
             b1, b2, eps = self.b1, self.b2, self.eps

@@ -53,6 +53,9 @@ class RunConfig:
     nesterov: bool = True
     weight_decay: float = 3e-5
     no_decay_keys: Optional[str] = "bn#bias"
+    # global-norm gradient clipping (optim.TorchOpt); None/0 = off (the
+    # reference never clips — this is the guard for long frozen-BN runs)
+    clip_grad_norm: Optional[float] = None
 
     train_batch_size: int = 16
     test_batch_size: int = 1
@@ -178,6 +181,7 @@ class SRRunManager:
                 net, opt_type=run_config.opt_type,
                 weight_decay=run_config.weight_decay,
                 momentum=run_config.momentum, nesterov=run_config.nesterov,
+                clip_grad_norm=run_config.clip_grad_norm,
                 kd_ratio=run_config.kd_ratio, mode=run_config.mode,
                 bn_frozen=run_config.bn_frozen, teacher_net=t_net,
                 compute_dtype=_compute_dtype_of(run_config),
@@ -188,6 +192,7 @@ class SRRunManager:
                 net, opt_type=run_config.opt_type,
                 weight_decay=run_config.weight_decay,
                 momentum=run_config.momentum, nesterov=run_config.nesterov,
+                clip_grad_norm=run_config.clip_grad_norm,
                 mode=run_config.mode, bn_frozen=run_config.bn_frozen,
                 compute_dtype=_compute_dtype_of(run_config),
                 remat=run_config.remat, ks_switch=run_config.ks_switch,

@@ -61,7 +61,8 @@ class SRTrainer:
     """
 
     def __init__(self, net, *, opt_type="adam", weight_decay=3e-5,
-                 momentum=0.9, nesterov=True, kd_ratio=0.0,
+                 momentum=0.9, nesterov=True, clip_grad_norm=None,
+                 kd_ratio=0.0,
                  mode: str = "sr", bn_frozen: bool = False,
                  teacher_net=None, compute_dtype=None, remat=None,
                  expand_switch=False, ks_switch=False, dw_switch=False,
@@ -71,6 +72,7 @@ class SRTrainer:
         self.weight_decay = weight_decay
         self.momentum = momentum
         self.nesterov = nesterov
+        self.clip_grad_norm = clip_grad_norm
         self.kd_ratio = kd_ratio
         self.mode = mode
         self.bn_frozen = bn_frozen
@@ -132,7 +134,8 @@ class SRTrainer:
             # executed (torch skips grad=None params)
             self._tx = TorchOpt(
                 self.opt_type, self.weight_decay, mask,
-                momentum=self.momentum, nesterov=self.nesterov)
+                momentum=self.momentum, nesterov=self.nesterov,
+                clip_grad_norm=self.clip_grad_norm)
         return self._tx
 
     def init_opt_state(self, params):

@@ -60,3 +60,32 @@ def test_rgb2y_known():
     assert (y == 235).all()
     img0 = np.zeros((2, 2, 3), dtype=np.uint8)
     assert (rgb2y_np(img0) == 16).all()
+
+
+def test_torch_opt_clip_grad_norm():
+    """Global-norm clipping (optim.TorchOpt clip_grad_norm): grads above the
+    threshold are rescaled to exactly the threshold norm before the moment
+    updates; grads below pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ofa_sr_tpu.train.optim import TorchOpt
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    grads = {"w": jnp.full((4,), 3.0), "b": jnp.full((2,), 4.0)}
+    gnorm = float(jnp.sqrt(4 * 9.0 + 2 * 16.0))
+
+    opt = TorchOpt("sgd", weight_decay=0.0, momentum=0.0,
+                   clip_grad_norm=1.0)
+    st = opt.init(params)
+    p1, _ = opt.update(params, grads, st, 1.0)
+    # effective grad = grads / gnorm (clipped to norm 1)
+    np.testing.assert_allclose(np.asarray(p1["w"]), 1.0 - 3.0 / gnorm,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["b"]), -4.0 / gnorm, rtol=1e-5)
+
+    # below the threshold: no rescale
+    opt2 = TorchOpt("sgd", weight_decay=0.0, momentum=0.0,
+                    clip_grad_norm=100.0)
+    p2, _ = opt2.update(params, grads, opt2.init(params), 1.0)
+    np.testing.assert_allclose(np.asarray(p2["w"]), 1.0 - 3.0, rtol=1e-6)

@@ -46,7 +46,22 @@ TORCH_INIT_SEED = 42
 # synthetic image tree (SR-learnable: smooth textures + hard edges)
 # ---------------------------------------------------------------------------
 
-def gen_tree(root, n_train=32, n_val=4, size=64, seed=0):
+def gen_tree(root, n_train=32, n_val=4, size=64, seed=0, style="lowpass"):
+    """Two dataset styles:
+
+    'lowpass' (r3): tiny noise bicubically upscaled + 4 thin edges. NB this
+    is nearly the *best case for bicubic* — the HR content below the edges
+    is literally bicubic-upscaled low-pass noise, so bicubic-x2 rebuilds it
+    almost perfectly (measured 31.96 dB at img 96) and the only learnable
+    margin is a handful of random strokes. Kept for r3-artifact
+    reproducibility.
+
+    'sharp' (r4): dense piecewise-constant structure — filled shapes,
+    strokes, text glyphs, checker patches at several scales — the content
+    class where SR genuinely beats interpolation (bicubic blurs every
+    edge; a trained net re-sharpens them from learned priors). Bicubic-x2
+    on this measures far lower, and the teacher has real headroom.
+    """
     from PIL import Image, ImageDraw
     rng = np.random.RandomState(seed)
     for split, n in (("train", n_train), ("val", n_val)):
@@ -58,18 +73,43 @@ def gen_tree(root, n_train=32, n_val=4, size=64, seed=0):
             img = Image.fromarray(base.astype(np.uint8)).resize(
                 (size, size), Image.BICUBIC)
             draw = ImageDraw.Draw(img)
-            for _ in range(4):  # hard edges make SR non-trivial
+            if style == "lowpass":
+                n_shapes = 4
+            else:
+                n_shapes = 24 + rng.randint(0, 16)
+            for _ in range(n_shapes):
                 x0, y0 = rng.randint(0, size - 8, 2)
                 w, h = rng.randint(4, size // 2, 2)
                 col = tuple(int(c) for c in rng.randint(0, 255, 3))
-                if rng.rand() < 0.5:
-                    draw.rectangle([x0, y0, min(x0 + w, size - 1),
-                                    min(y0 + h, size - 1)], outline=col,
-                                   width=rng.randint(1, 3))
-                else:
-                    draw.line([x0, y0, min(x0 + w, size - 1),
-                               min(y0 + h, size - 1)], fill=col,
+                x1, y1 = min(x0 + w, size - 1), min(y0 + h, size - 1)
+                kind = rng.rand()
+                if style == "lowpass":
+                    if kind < 0.5:
+                        draw.rectangle([x0, y0, x1, y1], outline=col,
+                                       width=rng.randint(1, 3))
+                    else:
+                        draw.line([x0, y0, x1, y1], fill=col,
+                                  width=rng.randint(1, 3))
+                    continue
+                if kind < 0.25:    # filled rectangle (hard edges, flat fill)
+                    draw.rectangle([x0, y0, x1, y1], fill=col)
+                elif kind < 0.45:  # filled ellipse (curved hard edge)
+                    draw.ellipse([x0, y0, x1, y1], fill=col)
+                elif kind < 0.65:  # stroke
+                    draw.line([x0, y0, x1, y1], fill=col,
                               width=rng.randint(1, 3))
+                elif kind < 0.85:  # text glyphs (natural SR content)
+                    txt = "".join(chr(rng.randint(33, 126))
+                                  for _ in range(rng.randint(2, 6)))
+                    draw.text((x0, y0), txt, fill=col)
+                else:              # checker patch (maximal high frequency)
+                    c = int(rng.randint(2, 5))
+                    for yy in range(y0, y1, c):
+                        for xx in range(x0 + ((yy - y0) // c % 2) * c,
+                                        x1, 2 * c):
+                            draw.rectangle(
+                                [xx, yy, min(xx + c - 1, x1),
+                                 min(yy + c - 1, y1)], fill=col)
             img.save(os.path.join(d, "img_%04d.png" % i))
 
 
@@ -120,7 +160,8 @@ def jax_common(a):
     return ["--data_root", a.data_root, "--image_size", str(a.crop),
             "--base_batch_size", str(a.bs), "--n_worker", "2",
             "--manual_seed", str(SEED), "--print_frequency", "1000",
-            "--validation_frequency", "1000000"]
+            "--validation_frequency", "1000000",
+            "--clip_grad_norm", str(a.clip_grad_norm)]
 
 
 def save_init_checkpoint(torch_sd, which, net, out_dir):
@@ -164,6 +205,21 @@ def run_jax_curriculum(a, torch_inits):
                                   OFAMobileNetX4(x_space),
                                   os.path.join(a.out, "init_supernet"))
     prev = x_init
+    if a.pretrain_epochs:
+        # max-net pretrain — the reference's kernel-phase warm start
+        # (train_ofa_net_sr_simple.py:236-240). Without it every phase
+        # trains the X4 supernet from scratch at shrink-phase LR, which is
+        # why the r3 corners sat at 12-16 dB.
+        path = os.path.join(a.out, "jax", "pretrain")
+        argv = jax_common(a) + [
+            "--task", "pretrain", "--phase", "1", "--path", path,
+            "--warmstart", prev, "--reference_quirks",
+            "--n_epochs", str(a.pretrain_epochs),
+            "--base_lr", str(a.pretrain_lr), "--warmup_epochs", "0",
+            "--dynamic_batch_size", "1"]
+        train_ofa_net_sr_simple.main(argv)
+        results["pretrain"] = grid_eval_jax(a, "pretrain", path)
+        prev = os.path.join(path, "checkpoint")
     for task, spec in phase_table(a):
         path = os.path.join(a.out, "jax", task)
         argv = jax_common(a) + [
@@ -194,6 +250,11 @@ def grid_eval_jax(a, task, path):
                             pixel_d_list=[1])
         net = OFAMobileNetS4(space)
         corners = [(5, 3, 2, 1)]
+    elif task == "pretrain":
+        space = SearchSpace(ks_list=[7], expand_list=[6], depth_list=[4],
+                            pixel_d_list=[2])
+        net = OFAMobileNetX4(space)
+        corners = [(7, 6, 4, 2)]
     else:
         spec = dict(phase_table(a))[task]
         # the phase's own space (its checkpoint may lack e.g. the kernel-
@@ -334,9 +395,14 @@ def run_torch_curriculum(a, torch_inits):
     results = {}
 
     def train_epochs(net, n_epochs, base_lr, dyn_bs, *, bn_eval,
-                     sample=None):
+                     sample=None, tag=""):
         opt = torch_optimizer(net, base_lr)
+        t0 = time.time()
         for epoch in range(n_epochs):
+            if epoch and epoch % 10 == 0:  # the v2 run gave 6h of silence
+                print("torch %s epoch %d/%d (%.1fs/ep)" %
+                      (tag, epoch, n_epochs, (time.time() - t0) / epoch),
+                      flush=True)
             batches = stream(provider, epoch)
             n_batch = len(batches)
             net.train()
@@ -363,18 +429,36 @@ def run_torch_curriculum(a, torch_inits):
                         pd = settings["pixel_d"][0]
                     loss = F.mse_loss(net(lrs[pd]), hr)
                     loss.backward()
+                if a.clip_grad_norm > 0:
+                    # raw grads, before the optimizer's decoupled wd joins —
+                    # same point in the step as the jax side (train/optim.py)
+                    torch.nn.utils.clip_grad_norm_(net.parameters(),
+                                                   a.clip_grad_norm)
                 opt.step()
 
     # ---- teacher ----------------------------------------------------------
     teacher = RefS4(ks_list=[5], expand_ratio_list=[3], depth_list=[2],
                     pixelshuffle_depth_list=[1])
     teacher.load_state_dict(torch_inits["teacher"])
-    train_epochs(teacher, a.teacher_epochs, a.teacher_lr, 1, bn_eval=True)
+    train_epochs(teacher, a.teacher_epochs, a.teacher_lr, 1, bn_eval=True,
+                 tag="teacher")
     results["teacher"] = torch_grid_eval(teacher, provider, [(5, 3, 2, 1)],
                                          is_x4=False)
+    print("torch teacher done: %s" % results["teacher"], flush=True)
 
     # ---- supernet phases --------------------------------------------------
     prev_sd = torch_inits["supernet"]
+    if a.pretrain_epochs:
+        net = RefX4(ks_list=[7], expand_ratio_list=[6], depth_list=[4],
+                    pixelshuffle_depth_list=[2])
+        net.forward = types.MethodType(_sr_mode_forward, net)
+        net.load_state_dict(prev_sd, strict=False)
+        train_epochs(net, a.pretrain_epochs, a.pretrain_lr, 1, bn_eval=False,
+                     sample=net.sample_active_subnet, tag="pretrain")
+        results["pretrain"] = torch_grid_eval(net, provider, [(7, 6, 4, 2)],
+                                              is_x4=True)
+        print("torch pretrain done: %s" % results["pretrain"], flush=True)
+        prev_sd = net.state_dict()
     for task, spec in phase_table(a):
         net = RefX4(ks_list=spec["ks_list"],
                     expand_ratio_list=spec["expand_list"],
@@ -391,7 +475,7 @@ def run_torch_curriculum(a, torch_inits):
         if task == "kernel":
             train_epochs(net, spec["n_epochs"], spec["base_lr"],
                          spec["dynamic_batch_size"], bn_eval=False,
-                         sample=sample)
+                         sample=sample, tag=task)
         else:
             dims = {"depth": ("depth", sorted(spec["depth_list"],
                                               reverse=True)),
@@ -410,13 +494,15 @@ def run_torch_curriculum(a, torch_inits):
                 net.set_constraint(list(supported), constraint_type=ctype)
                 train_epochs(net, spec["n_epochs"], spec["base_lr"],
                              spec["dynamic_batch_size"], bn_eval=False,
-                             sample=sample)
+                             sample=sample,
+                             tag="%s-stage%d" % (task, stage))
             for t in ("_depth_include_list", "_expand_include_list",
                       "_pixelshuffle_depth_include_list",
                       "_ks_include_list"):
                 net.__dict__[t] = None
         results[task] = torch_grid_eval(net, provider, grid_corners(spec),
                                         is_x4=True)
+        print("torch %s done: %s" % (task, results[task]), flush=True)
         prev_sd = net.state_dict()
     return results
 
@@ -461,10 +547,26 @@ def main():
     ap.add_argument("--bs", type=int, default=4)
     ap.add_argument("--teacher_epochs", type=int, default=12)
     ap.add_argument("--teacher_lr", type=float, default=1e-3)
+    ap.add_argument("--pretrain_epochs", type=int, default=0,
+                    help="X4 max-net pretraining epochs before the kernel "
+                         "phase (the reference's normal2pixelshuffle warm "
+                         "start); 0 = r3 behavior (phases from fresh init)")
+    ap.add_argument("--pretrain_lr", type=float, default=1e-3)
+    ap.add_argument("--clip_grad_norm", type=float, default=0.0,
+                    help="global-norm grad clip on BOTH sides (0 = off, the "
+                         "reference behavior); guard for long frozen-BN "
+                         "teacher schedules (an 800-epoch run blew up 20000x "
+                         "at epoch 98)")
     ap.add_argument("--phase_epochs", type=int, default=4)
     ap.add_argument("--phase_lr", type=float, default=2.5e-4)
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--skip_jax", action="store_true")
+    ap.add_argument("--style", type=str, default="lowpass",
+                    choices=["lowpass", "sharp"],
+                    help="synthetic dataset style (see gen_tree): 'lowpass' "
+                         "reproduces the r3 artifact; 'sharp' is dense "
+                         "piecewise-constant content where SR has real "
+                         "headroom over bicubic")
     ap.add_argument("--compile_cache", type=str,
                     default="/tmp/ofa_xla_cache",
                     help="persistent XLA compilation cache dir ('' = off). "
@@ -486,7 +588,8 @@ def main():
     os.makedirs(a.out, exist_ok=True)
 
     if not os.path.exists(os.path.join(a.data_root, "train")):
-        gen_tree(a.data_root, a.n_train, a.n_val, a.img, seed=SEED)
+        gen_tree(a.data_root, a.n_train, a.n_val, a.img, seed=SEED,
+                 style=a.style)
 
     report = {"config": vars(a), "baseline_bicubic": bicubic_baseline(a)}
     torch_inits = make_torch_inits()

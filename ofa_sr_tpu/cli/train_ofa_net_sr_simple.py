@@ -21,6 +21,15 @@ from .common import add_common_args, make_sr_provider, set_seeds, perf_config_kw
 
 # the reference phase table (train_ofa_net_sr_simple.py:28-93)
 TASK_PHASES = {
+    # the max-net pretraining that produces the checkpoint the kernel phase
+    # warm-starts from (train_ofa_net_sr_simple.py:236-240 loads
+    # 'sr_bn_mse_normal2pixelshuffle/checkpoint/model_best.pth.tar'; that
+    # run's own hyperparameters are not in the repo — kernel-phase values
+    # reused here)
+    ("pretrain", 1): dict(path="exp/sr/normal2pixelshuffle",
+                          dynamic_batch_size=1, n_epochs=120, base_lr=3e-2,
+                          warmup_epochs=5, ks_list=[7], expand_list=[6],
+                          depth_list=[4], pixel_d_list=[2]),
     ("kernel", 1): dict(path="exp/sr/normal2kernel", dynamic_batch_size=1,
                         n_epochs=120, base_lr=3e-2, warmup_epochs=5,
                         ks_list=[3, 5, 7], expand_list=[6], depth_list=[4],
@@ -53,7 +62,8 @@ TASK_PHASES[("pixelshuffle_depth", 2)] = TASK_PHASES[("pixelshuffle_depth", 1)]
 def build_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", type=str, default="pixelshuffle_depth",
-                   choices=["kernel", "depth", "expand", "pixelshuffle_depth"])
+                   choices=["pretrain", "kernel", "depth", "expand",
+                            "pixelshuffle_depth"])
     p.add_argument("--phase", type=int, default=2, choices=[1, 2])
     p.add_argument("--warmstart", type=str, default=None,
                    help="checkpoint dir/file of the previous task's best")

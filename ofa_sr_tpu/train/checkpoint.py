@@ -62,6 +62,54 @@ def load_checkpoint(path_or_dir, template=None):
     return raw
 
 
+def _lenient_merge(tpl_sd, raw):
+    """Recursive overlay of a raw msgpack state-dict tree onto a template
+    state dict: keys missing from raw keep the template value, keys the
+    template lacks are dropped, and leaf shape mismatches keep the
+    template. Returns (merged, n_kept_template, n_dropped_raw)."""
+    if isinstance(tpl_sd, dict):
+        rawd = raw if isinstance(raw, dict) else {}
+        out, kept, dropped = {}, 0, 0
+        for k, v in tpl_sd.items():
+            if k in rawd:
+                m, ke, dr = _lenient_merge(v, rawd[k])
+                out[k] = m
+                kept += ke
+                dropped += dr
+            else:
+                out[k] = v
+                kept += 1
+        dropped += sum(1 for k in rawd if k not in tpl_sd)
+        return out, kept, dropped
+    tshape = getattr(tpl_sd, "shape", None)
+    rshape = getattr(raw, "shape", None)
+    if raw is None or (tshape is not None and rshape is not None
+                       and tuple(tshape) != tuple(rshape)):
+        return tpl_sd, 1, 0
+    return raw, 0, 0
+
+
+def load_weights_lenient(path_or_dir, params, state):
+    """Warm-start load with the reference's load_weights_from_net semantics
+    (ofa_mbx4.py:303-341, load_state_dict strict=False): parameters present
+    in both checkpoint and net are taken from the checkpoint; the rest keep
+    their fresh init. This is how the reference chains checkpoints across
+    *different* elastic spaces — e.g. its kernel phase warm-starts from the
+    max-net pretrain (train_ofa_net_sr_simple.py:236-240), whose ks_list=[7]
+    net has no kernel-transform matrices.
+
+    Returns (params, state, stats) with stats = {kept_template, dropped}."""
+    raw = load_checkpoint(path_or_dir)
+    merged, kept, dropped = _lenient_merge(
+        serialization.to_state_dict(
+            jax.tree.map(np.asarray, {"params": params, "state": state})),
+        {k: raw.get(k) for k in ("params", "state")})
+    tree = serialization.from_state_dict({"params": params, "state": state},
+                                         merged)
+    return tree["params"], tree["state"], {"kept_template": kept,
+                                           "dropped": dropped}
+
+
 # ---------------------------------------------------------------------------
 # Torch (reference) interop
 # ---------------------------------------------------------------------------

@@ -169,10 +169,15 @@ class ClsRunManager:
             self.write_log("fail to load checkpoint: %s" % e, "valid")
 
     def load_weights(self, path):
-        tpl = {"epoch": 0, "best_acc": 0.0, "params": self.params,
-               "state": self.state, "opt_state": self.opt_state}
-        ckpt = load_checkpoint(path, template=tpl)
-        self.params, self.state = ckpt["params"], ckpt["state"]
+        """Lenient warm start (see SRRunManager.load_weights)."""
+        from .checkpoint import load_weights_lenient
+        self.params, self.state, stats = load_weights_lenient(
+            path, self.params, self.state)
+        if stats["kept_template"] or stats["dropped"]:
+            self.write_log("load_weights(%s): %d net leaves kept fresh "
+                           "init, %d checkpoint leaves unused"
+                           % (path, stats["kept_template"],
+                              stats["dropped"]), "valid")
 
     # ---------------------------------------------------------------------
 

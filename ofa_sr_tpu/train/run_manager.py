@@ -334,11 +334,16 @@ class SRRunManager:
 
     def load_weights(self, path):
         """Warm-start weights only (the load_models -> load_weights_from_net
-        path, progressive_shrinking.py:257-263)."""
-        tpl = {"epoch": 0, "best_acc": 0.0, "params": self.params,
-               "state": self.state, "opt_state": self.opt_state}
-        ckpt = load_checkpoint(path, template=tpl)
-        self.params, self.state = ckpt["params"], ckpt["state"]
+        path, progressive_shrinking.py:257-263). Lenient across elastic
+        spaces like the reference's strict=False load."""
+        from .checkpoint import load_weights_lenient
+        self.params, self.state, stats = load_weights_lenient(
+            path, self.params, self.state)
+        if stats["kept_template"] or stats["dropped"]:
+            self.write_log("load_weights(%s): %d net leaves kept fresh "
+                           "init, %d checkpoint leaves unused"
+                           % (path, stats["kept_template"],
+                              stats["dropped"]), "valid")
 
     # -- subnet sampling (host, reference seed contract) -------------------------
 

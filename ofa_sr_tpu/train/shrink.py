@@ -90,8 +90,12 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
                        warmstart_path: Optional[str] = None,
                        validate_lists: Optional[dict] = None):
     """Generic stage machine for task in
-    {'kernel', 'depth', 'expand', 'pixelshuffle_depth'}.
+    {'pretrain', 'kernel', 'depth', 'expand', 'pixelshuffle_depth'}.
 
+    pretrain: single stage on a singleton (max) space — the reference's
+    full-net pretraining that produces the checkpoint its kernel phase
+    loads (train_ofa_net_sr_simple.py:236-240,
+    'sr_bn_mse_normal2pixelshuffle/.../model_best.pth.tar').
     kernel: single stage training the full ks list (the script's plain
     train(), train_ofa_net_sr_simple.py:236-246). depth/expand/
     pixelshuffle_depth: walk candidate prefixes largest->smallest; expand
@@ -108,7 +112,7 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
         loss, psnr, log = validate_grid(run_manager, **vl)
         run_manager.write_log("warmstart: %.3f\t%.3f\t%s" % (loss, psnr, log), "valid")
 
-    if task == "kernel":
+    if task in ("kernel", "pretrain"):
         best = run_manager.train()
         save_stage_info(run_manager, task, {"stage": 1})
         return best

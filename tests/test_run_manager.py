@@ -71,6 +71,41 @@ def test_checkpoint_load_missing_is_graceful(tmp_path):
     assert rm.start_epoch == 0
 
 
+def test_load_weights_lenient_across_spaces(tmp_path):
+    """The reference chains checkpoints across different elastic spaces with
+    load_state_dict(strict=False) (ofa_mbx4.py:303-341): a ks_list=[7]
+    max-net pretrain has no kernel-transform matrices, yet its checkpoint
+    warm-starts the ks=[3,5,7] kernel phase (train_ofa_net_sr_simple.py:
+    236-240). Shared leaves must come from the checkpoint, absent ones keep
+    the fresh init."""
+    from ofa_sr_tpu.train.checkpoint import load_weights_lenient
+
+    sp_max = SearchSpace(ks_list=[7], expand_list=[6], depth_list=[2],
+                         pixel_d_list=[1], n_stages=2, width=8)
+    net_max = OFAMobileNetS4(sp_max)
+    p_max, s_max = net_max.init(jax.random.PRNGKey(0))
+    p_max = jax.tree.map(lambda t: t + 1.0, p_max)  # make values distinctive
+    save_checkpoint(str(tmp_path), {"epoch": 0, "best_acc": 0.0,
+                                    "params": p_max, "state": s_max})
+
+    sp_el = SearchSpace(ks_list=[3, 5, 7], expand_list=[6], depth_list=[2],
+                        pixel_d_list=[1], n_stages=2, width=8)
+    net_el = OFAMobileNetS4(sp_el)
+    p_el, s_el = net_el.init(jax.random.PRNGKey(1))
+    p2, s2, stats = load_weights_lenient(str(tmp_path), p_el, s_el)
+    # same tree structure as the elastic net (kt matrices present)
+    assert jax.tree.structure(p2) == jax.tree.structure(p_el)
+    assert stats["kept_template"] > 0  # the kt leaves stayed fresh
+    # a shared leaf (block depthwise conv) came from the checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(p2["blocks"][0]["depth_conv"]["conv"]["w"]),
+        np.asarray(p_max["blocks"][0]["depth_conv"]["conv"]["w"]))
+    # and a kt leaf kept the elastic net's own init
+    np.testing.assert_array_equal(
+        np.asarray(p2["blocks"][0]["depth_conv"]["kt"]["7to5"]),
+        np.asarray(p_el["blocks"][0]["depth_conv"]["kt"]["7to5"]))
+
+
 def test_torch_import_s4_parity(tmp_path):
     """Build a reference-shaped torch state_dict synthetically, import it,
     and check a forward agrees with manually-transposed weights."""

@@ -1,0 +1,141 @@
+"""Equal-n race of dw-switch seam/branch variants (VERDICT r3 item 4: the
+trace attributes 6.3 ms / 27% of the production step to switch-seam
+formatting copies — attack it with compile-time branch support).
+
+All variants run the SAME sampled archs (drawn under expand_candidates=[4,6]
+so every variant's branch grid contains them) on the bench envelope
+(bs16/96px supernet step, bf16 + all_save_bn, scan n_inner steps/dispatch):
+
+  base   — dw_switch, pad seam, full 3x3 branch grid (the r3 production step)
+  dus    — pad replaced by dynamic_update_slice into zeros
+  align  — width candidates rounded up to the 128-lane tile: {192,256,384}
+           -> {256,384}, 6 branches, tile-aligned seam buffers
+  live   — branch grid narrowed to the live constraint lists (ks full,
+           e=[4,6]): 6 branches — what a shrink stage's step compiles now
+           that run_manager threads set_constraint into the enumeration
+
+Because the archs are identical, any step-time difference is pure
+branch-count / seam-lowering effect, not workload.
+
+Run: python exp/perf_dw_seam_race.py [--out FILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--n_inner", type=int, default=16)
+    ap.add_argument("--variants", type=str,
+                    default="base,dus,align,live")
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import probed_matmul_tflops
+    from ofa_sr_tpu.models import (OFAMobileNetS4, SearchSpace,
+                                   sample_subnet, subnet_seed)
+    from ofa_sr_tpu.train import SRTrainer
+
+    health0 = probed_matmul_tflops(jax, jnp, n=20)
+    print("health: %.1f TF/s" % health0, flush=True)
+
+    space = SearchSpace()
+    net = OFAMobileNetS4(space)
+    params, state = net.init(jax.random.PRNGKey(0))
+    bs, hr, n_inner = 16, 96, a.n_inner
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(bs, hr, hr, 3), jnp.float32),
+        "x2": jnp.asarray(rng.rand(bs, hr // 2, hr // 2, 3), jnp.float32),
+        "x4": jnp.asarray(rng.rand(bs, hr // 4, hr // 4, 3), jnp.float32),
+    }
+    batches = jax.tree.map(
+        lambda t: jnp.broadcast_to(t, (n_inner,) + t.shape), batch)
+    cfgs = [sample_subnet(space, seed=subnet_seed(0, 50, i, 0),
+                          expand_candidates=[4, 6]) for i in range(8)]
+    stacked = (jax.tree.map(
+        lambda *xs: jnp.stack([xs[i % 8] for i in range(n_inner)]),
+        *[c.to_device(space) for c in cfgs]),)
+    lrs = jnp.full((n_inner,), 1e-4, jnp.float32)
+
+    OPTS = {
+        "base": None,
+        "dus": {"seam": "dus"},
+        "align": {"align": 128},
+        "live": {"live": (None, (4, 6))},
+    }
+
+    def run_variant(name):
+        trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
+                            compute_dtype=jnp.bfloat16, remat="all_save_bn",
+                            dw_switch=True, dw_opts=OPTS[name])
+        opt_state = trainer.init_opt_state(params)
+        step = trainer.make_scan_train_step(n_subnets=1, donate=False)
+        p, s, o = params, state, opt_state
+        t0 = time.time()
+        p, s, o, m = step(p, s, o, batches, stacked, lrs)
+        warm = float(np.asarray(m["loss"]))
+        compile_s = time.time() - t0
+
+        def window(k):
+            nonlocal p, s, o
+            t0 = time.perf_counter()
+            for _ in range(k):
+                p, s, o, m = step(p, s, o, batches, stacked, lrs)
+            _ = float(np.asarray(jnp.sum(jax.tree.leaves(p)[0])))
+            _ = float(np.asarray(m["loss"]))
+            return (time.perf_counter() - t0) * 1000
+
+        slopes, walls = [], []
+        for _ in range(3):
+            t_small = window(2)
+            t_big = window(6)
+            slopes.append((t_big - t_small) / (4 * n_inner))
+            walls.append(t_big / (6 * n_inner))
+        slopes.sort()
+        walls.sort()
+        ok = [t for t in slopes if t > 0.2 * walls[0]]
+        best = ok[0] if ok else walls[0]
+        return {"step_ms_best": round(best, 3),
+                "step_ms_all": [round(t, 3) for t in slopes],
+                "warm_loss": round(warm, 5),
+                "compile_s": round(compile_s, 1)}
+
+    report = {"envelope": "bs16/96px supernet step, bf16+all_save_bn+"
+                          "dw_switch, SAME archs (e sampled from [4,6]) "
+                          "across variants, scan %d/dispatch" % n_inner,
+              "health_tflops": round(health0, 1), "variants": {}}
+    for name in a.variants.split(","):
+        r = run_variant(name)
+        report["variants"][name] = r
+        print(name, r, flush=True)
+    report["health_tflops_after"] = round(
+        probed_matmul_tflops(jax, jnp, n=20), 1)
+    base = report["variants"].get("base", {}).get("step_ms_best")
+    if base:
+        report["vs_base"] = {
+            k: round(v["step_ms_best"] / base, 3)
+            for k, v in report["variants"].items()}
+    print(json.dumps(report, indent=2))
+    if a.out:
+        with open(a.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

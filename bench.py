@@ -100,10 +100,12 @@ def main():
     # dw_switch is bf16-only as a default: f32+dws measured 274 ms (XLA's
     # f32 lowering of narrow depthwise convs collapses, like s2d-f32).
     # f32 master params, BN statistics, loss and PSNR stay f32
-    # (train_step.py cast_params_for_compute).
+    # (train_step.py cast_params_for_compute). dw_opts align=128 rounds
+    # width candidates to the lane tile: -3.5% equal-n, losses identical
+    # (DW_SEAM_RACE_r04.json, DESIGN.md §7.1).
     trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
                         compute_dtype=jnp.bfloat16, remat="all_save_bn",
-                        dw_switch=True)
+                        dw_switch=True, dw_opts={"align": 128})
     opt_state = trainer.init_opt_state(params)
 
     bs, hr = 16, 96
@@ -181,7 +183,8 @@ def main():
         t_cfg = _us(t_space, 5, 3, 2, 1)
         tr4 = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
                         compute_dtype=jnp.bfloat16, remat="all_save_bn",
-                        dw_switch=True, kd_ratio=1.0, teacher_net=t_net)
+                        dw_switch=True, dw_opts={"align": 128},
+                        kd_ratio=1.0, teacher_net=t_net)
         opt4 = tr4.init_opt_state(params)
         n_inner4 = 8
         step4 = tr4.make_scan_train_step(
@@ -344,6 +347,10 @@ def main():
                     macs -= _conv_macs(lh, lw, mid_max, mid_max,
                                        max(space.ks_list), groups=mid_max)
                     mid = space.mid_channels(cfg.e[bi])
+                    # dw_opts align=128 rounds the executed branch width up
+                    # to the lane tile (capped at the bank width) — bill the
+                    # width that actually runs (_dw_mid_candidates).
+                    mid = min(-(-mid // 128) * 128, mid_max)
                     macs += _conv_macs(lh, lw, mid, mid, cfg.ks[bi],
                                        groups=mid)
                 bi += 1

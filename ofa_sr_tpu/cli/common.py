@@ -78,6 +78,12 @@ def add_perf_args(parser: argparse.ArgumentParser):
                              "pulls dw-BN/act/project-1x1 into the branch "
                              "so the switch seam carries block-width "
                              "buffers (models/layers.py _dwp_switched)")
+    parser.add_argument("--dw_align", type=int, default=0,
+                        help="round the dw switch's width candidates up to "
+                             "this lane tile (128 = the v5e lane width): "
+                             "fewer branches, tile-aligned seam buffers, "
+                             "still exact. Measured -3.5%% step time on HW "
+                             "(DW_SEAM_RACE_r04.json). 0 = off")
     return parser
 
 
@@ -94,6 +100,8 @@ def perf_config_kw(args):
     dws = getattr(args, "dw_switch", "off")
     if dws and dws != "off":
         kw["dw_switch"] = True if dws == "dw" else dws
+    if getattr(args, "dw_align", 0):
+        kw["dw_align"] = args.dw_align
     return kw
 
 

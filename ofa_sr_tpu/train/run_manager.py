@@ -106,6 +106,11 @@ class RunConfig:
     # account measured the max-shape dw stack at 54% of the step
     # (DESIGN.md §7). See SRTrainer.dw_switch.
     dw_switch: bool = False
+    # round the dw switch's width candidates up to this lane tile (e.g.
+    # 128): fewer branches, tile-aligned seam buffers, still exact
+    # (tests/test_dw_switch.py). Measured -3.5% step time on HW at 128
+    # (DW_SEAM_RACE_r04.json, DESIGN.md §7.1). 0 = off.
+    dw_align: int = 0
     # execute the trunk in space-to-depth layout (4x-deep MXU-shaped 1x1
     # contractions, exact; ops/s2d.py). S4 only.
     s2d: bool = False
@@ -170,6 +175,8 @@ class SRRunManager:
             key = jax.random.PRNGKey(run_config.manual_seed)
             self.params, self.state = net.init(key)
 
+        dw_opts = ({"align": run_config.dw_align}
+                   if run_config.dw_align else None)
         teacher_kw = {}
         if teacher is not None and run_config.kd_ratio > 0:
             t_net, t_params, t_state, t_cfg = teacher
@@ -186,7 +193,8 @@ class SRRunManager:
                 bn_frozen=run_config.bn_frozen, teacher_net=t_net,
                 compute_dtype=_compute_dtype_of(run_config),
                 remat=run_config.remat, ks_switch=run_config.ks_switch,
-                dw_switch=run_config.dw_switch, s2d=run_config.s2d)
+                dw_switch=run_config.dw_switch, dw_opts=dw_opts,
+                s2d=run_config.s2d)
         else:
             self.trainer = SRTrainer(
                 net, opt_type=run_config.opt_type,
@@ -196,7 +204,8 @@ class SRRunManager:
                 mode=run_config.mode, bn_frozen=run_config.bn_frozen,
                 compute_dtype=_compute_dtype_of(run_config),
                 remat=run_config.remat, ks_switch=run_config.ks_switch,
-                dw_switch=run_config.dw_switch, s2d=run_config.s2d)
+                dw_switch=run_config.dw_switch, dw_opts=dw_opts,
+                s2d=run_config.s2d)
         self.opt_state = self.trainer.init_opt_state(self.params)
         self._teacher_kw = teacher_kw
         self._build_train_steps()

@@ -25,3 +25,16 @@ def test_dw_switch_rejects_unknown_value():
     c.add_perf_args(p)
     with pytest.raises(SystemExit):
         p.parse_args(["--dw_switch", "True"])
+
+
+def test_dw_align_maps_into_run_config():
+    p = argparse.ArgumentParser()
+    c.add_perf_args(p)
+    kw = c.perf_config_kw(p.parse_args(["--dw_switch", "--dw_align", "128"]))
+    assert kw["dw_align"] == 128
+    # absent / 0 -> not in kwargs (RunConfig default 0 = off)
+    kw = c.perf_config_kw(p.parse_args([]))
+    assert "dw_align" not in kw
+    from ofa_sr_tpu.train.run_manager import RunConfig
+    assert RunConfig(**kw, dw_switch=True).dw_align == 0
+    assert RunConfig(dw_switch=True, dw_align=128).dw_align == 128

@@ -181,6 +181,28 @@ def save_init_checkpoint(torch_sd, which, net, out_dir):
     return out_dir
 
 
+_PARTIAL_BASELINE = {}
+
+
+def write_partial(a, side, results):
+    """Checkpoint the finished phases of one half to
+    <out>/report_partial_<side>.json after every phase, shaped exactly like
+    a finished half-report so merge_curriculum_reports can join whatever
+    both halves reached if the run is cut off (the v2 run lost 6 h of torch
+    results to a container wipe because report.json was only written at the
+    very end)."""
+    if "baseline" not in _PARTIAL_BASELINE:
+        _PARTIAL_BASELINE["baseline"] = bicubic_baseline(a)
+    partial = {"config": vars(a),
+               "baseline_bicubic": _PARTIAL_BASELINE["baseline"],
+               side: dict(results), "partial": True}
+    path = os.path.join(a.out, "report_partial_%s.json" % side)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(partial, f, indent=2)
+    os.replace(tmp, path)
+
+
 def run_jax_curriculum(a, torch_inits):
     from ofa_sr_tpu.cli import train_ofa_net_sr_simple, train_teacher_net_sr_simple
     from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
@@ -198,6 +220,7 @@ def run_jax_curriculum(a, torch_inits):
                          "--base_lr", str(a.teacher_lr), "--warmup_epochs",
                          "0", "--warmstart", t_init])
     results["teacher"] = grid_eval_jax(a, "teacher", t_path)
+    write_partial(a, "jax", results)
 
     # ---- supernet phases, warm-start chained --------------------------------
     x_space = SearchSpace()  # full maxima: bank shapes shared by all phases
@@ -219,6 +242,7 @@ def run_jax_curriculum(a, torch_inits):
             "--dynamic_batch_size", "1"]
         train_ofa_net_sr_simple.main(argv)
         results["pretrain"] = grid_eval_jax(a, "pretrain", path)
+        write_partial(a, "jax", results)
         prev = os.path.join(path, "checkpoint")
     for task, spec in phase_table(a):
         path = os.path.join(a.out, "jax", task)
@@ -230,6 +254,7 @@ def run_jax_curriculum(a, torch_inits):
             "--dynamic_batch_size", str(spec["dynamic_batch_size"])]
         train_ofa_net_sr_simple.main(argv)
         results[task] = grid_eval_jax(a, task, path)
+        write_partial(a, "jax", results)
         prev = os.path.join(path, "checkpoint")
     return results
 
@@ -445,6 +470,7 @@ def run_torch_curriculum(a, torch_inits):
     results["teacher"] = torch_grid_eval(teacher, provider, [(5, 3, 2, 1)],
                                          is_x4=False)
     print("torch teacher done: %s" % results["teacher"], flush=True)
+    write_partial(a, "torch", results)
 
     # ---- supernet phases --------------------------------------------------
     prev_sd = torch_inits["supernet"]
@@ -458,6 +484,7 @@ def run_torch_curriculum(a, torch_inits):
         results["pretrain"] = torch_grid_eval(net, provider, [(7, 6, 4, 2)],
                                               is_x4=True)
         print("torch pretrain done: %s" % results["pretrain"], flush=True)
+        write_partial(a, "torch", results)
         prev_sd = net.state_dict()
     for task, spec in phase_table(a):
         net = RefX4(ks_list=spec["ks_list"],
@@ -503,6 +530,7 @@ def run_torch_curriculum(a, torch_inits):
         results[task] = torch_grid_eval(net, provider, grid_corners(spec),
                                         is_x4=True)
         print("torch %s done: %s" % (task, results[task]), flush=True)
+        write_partial(a, "torch", results)
         prev_sd = net.state_dict()
     return results
 

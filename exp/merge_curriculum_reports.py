@@ -39,9 +39,18 @@ def merge(jr: dict, tr: dict) -> dict:
            "baseline_bicubic": jr["baseline_bicubic"],
            "jax": jr["jax"], "jax_sec": jr.get("jax_sec"),
            "torch": tr["torch"], "torch_sec": tr.get("torch_sec")}
+    if jr.get("partial") or tr.get("partial"):
+        # a half written incrementally by curriculum.write_partial (run cut
+        # off mid-curriculum): merge the phases both halves reached, list
+        # the rest instead of failing
+        out["partial"] = True
+        out["phases_missing_torch"] = sorted(set(jr["jax"]) - set(tr["torch"]))
+        out["phases_missing_jax"] = sorted(set(tr["torch"]) - set(jr["jax"]))
     deltas = {}
     for phase in out["jax"]:
         if phase not in out["torch"]:
+            if out.get("partial"):
+                continue
             raise SystemExit("phase %r missing from torch half" % phase)
         deltas[phase] = {k: round(out["jax"][phase][k]
                                   - out["torch"][phase][k], 3)
@@ -70,8 +79,10 @@ def merge(jr: dict, tr: dict) -> dict:
         "corner_margin_db": (round(x4_corners[best_corner] - bic["x4"], 3)
                              if best_corner else None),
         "corner_phase": corner_phase,
-        "oracle_delta_mean_db": round(sum(flat) / len(flat), 3),
-        "oracle_delta_max_abs_db": round(max(abs(d) for d in flat), 3),
+        "oracle_delta_mean_db": (round(sum(flat) / len(flat), 3)
+                                 if flat else None),
+        "oracle_delta_max_abs_db": (round(max(abs(d) for d in flat), 3)
+                                    if flat else None),
     }
     return out
 

@@ -113,6 +113,11 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
         run_manager.write_log("warmstart: %.3f\t%.3f\t%s" % (loss, psnr, log), "valid")
 
     if task in ("kernel", "pretrain"):
+        # Mid-phase resume: a relay wedge kills the process between epochs
+        # (DESIGN.md §6) and only a fresh process recovers the chip, so a
+        # rerun must pick up the per-epoch checkpoint instead of retraining
+        # from the warmstart. Missing checkpoint -> no-op (fresh phase).
+        run_manager.load_model()
         best = run_manager.train()
         save_stage_info(run_manager, task, {"stage": 1})
         return best
@@ -157,8 +162,23 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
 
         run_manager.start_epoch = 0
         run_manager.best_acc = -1e9
+        if int(info.get("running_stage", -1)) == current_stage:
+            # Mid-stage resume: this stage wrote the phase checkpoint
+            # (epoch -1 at entry, then every epoch), so restore params/
+            # opt_state/start_epoch from it. The reorg above is harmlessly
+            # overwritten — the checkpoint holds post-reorg weights.
+            run_manager.load_model()
+        else:
+            info["running_stage"] = current_stage
+            save_stage_info(run_manager, task, info)
+            # Stage-entry checkpoint (epoch -1 -> start_epoch 0 on reload):
+            # without it, a crash during epoch 0 would resume from the
+            # PREVIOUS stage's last checkpoint, whose epoch count would make
+            # load_model skip this stage entirely.
+            run_manager.save_model(epoch=-1)
         best = run_manager.train(constraints=constraints)
 
+        info.pop("running_stage", None)
         info["stage"] = current_stage + 1
         run_manager.save_model(epoch=run_manager.run_config.n_epochs - 1,
                                name="%s_stage%d.ckpt" % (task, info["stage"]))

@@ -244,6 +244,67 @@ def test_validate_grid_and_shrink_stage_machine(tmp_path):
     assert best2 == -1e9  # no stages left -> untouched sentinel
 
 
+def test_shrink_mid_stage_resume(tmp_path, monkeypatch):
+    """A process killed mid-stage (relay wedge) must resume at the next
+    epoch of the SAME stage in a fresh process, then clear the
+    running_stage marker when the stage completes."""
+    orig = SRRunManager.train_one_epoch
+
+    def crashing(self, epoch, *a, **k):
+        if epoch == 1:
+            raise RuntimeError("simulated wedge")
+        return orig(self, epoch, *a, **k)
+
+    rm = _manager(tmp_path, n_epochs=2)
+    monkeypatch.setattr(SRRunManager, "train_one_epoch", crashing)
+    with pytest.raises(RuntimeError, match="simulated wedge"):
+        supporting_elastic(rm, "depth")
+    info = json.load(open(os.path.join(str(tmp_path), "depth.stage")))
+    assert info == {"stage": 0, "running_stage": 0}
+
+    seen = []
+
+    def recording(self, epoch, *a, **k):
+        seen.append(epoch)
+        return orig(self, epoch, *a, **k)
+
+    monkeypatch.setattr(SRRunManager, "train_one_epoch", recording)
+    rm2 = _manager(tmp_path, n_epochs=2)
+    best = supporting_elastic(rm2, "depth")
+    assert np.isfinite(best)
+    assert seen[0] == 1  # resumed mid-stage, epoch 0 not retrained
+    info = json.load(open(os.path.join(str(tmp_path), "depth.stage")))
+    assert info["stage"] == 1 and "running_stage" not in info
+
+
+def test_shrink_kernel_phase_resume(tmp_path, monkeypatch):
+    """Single-stage tasks (kernel/pretrain) resume from their per-epoch
+    checkpoint too — a rerun must not retrain from the warmstart."""
+    orig = SRRunManager.train_one_epoch
+
+    def crashing(self, epoch, *a, **k):
+        if epoch == 1:
+            raise RuntimeError("simulated wedge")
+        return orig(self, epoch, *a, **k)
+
+    rm = _manager(tmp_path, n_epochs=2)
+    monkeypatch.setattr(SRRunManager, "train_one_epoch", crashing)
+    with pytest.raises(RuntimeError, match="simulated wedge"):
+        supporting_elastic(rm, "kernel")
+
+    seen = []
+
+    def recording(self, epoch, *a, **k):
+        seen.append(epoch)
+        return orig(self, epoch, *a, **k)
+
+    monkeypatch.setattr(SRRunManager, "train_one_epoch", recording)
+    rm2 = _manager(tmp_path, n_epochs=2)
+    best = supporting_elastic(rm2, "kernel")
+    assert np.isfinite(best)
+    assert seen == [1]
+
+
 def test_steps_per_dispatch_matches_per_step_training():
     """Device-side multi-step training (steps_per_dispatch > 1, lax.scan)
     produces the same parameters as one-dispatch-per-step training."""

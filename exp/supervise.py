@@ -23,8 +23,24 @@ import sys
 import time
 
 
+def _cpu_seconds(pid):
+    """utime+stime of the process (all threads), in seconds; 0.0 if gone."""
+    try:
+        with open("/proc/%d/stat" % pid) as f:
+            fields = f.read().rsplit(") ", 1)[1].split()
+        tick = os.sysconf("SC_CLK_TCK")
+        return (int(fields[11]) + int(fields[12])) / tick
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 def run_once(cmd, log_path, stall_sec, poll_sec=20):
-    """Run cmd once; return ('exit', rc) or ('stall', None)."""
+    """Run cmd once; return ('exit', rc) or ('stall', None).
+
+    Progress = the log grew OR the child burned CPU since the last poll.
+    The CPU signal matters for compile-bound phases: an XLA-CPU compile of
+    the full supernet step runs >1 h with zero log output, while a wedged
+    relay dispatch sleeps at ~0 CPU — exactly the case to kill."""
     with open(log_path, "ab", buffering=0) as log:
         log.write(("\n==== supervise: launch %s ====\n"
                    % time.strftime("%Y-%m-%d %H:%M:%S")).encode())
@@ -32,6 +48,7 @@ def run_once(cmd, log_path, stall_sec, poll_sec=20):
                                 start_new_session=True)
         try:
             last_size = os.path.getsize(log_path)
+            last_cpu = _cpu_seconds(proc.pid)
             last_progress = time.time()
             while True:
                 rc = proc.poll()
@@ -39,8 +56,10 @@ def run_once(cmd, log_path, stall_sec, poll_sec=20):
                     return "exit", rc
                 time.sleep(poll_sec)
                 size = os.path.getsize(log_path)
-                if size != last_size:
+                cpu = _cpu_seconds(proc.pid)
+                if size != last_size or cpu - last_cpu >= 0.5:
                     last_size = size
+                    last_cpu = cpu
                     last_progress = time.time()
                 elif time.time() - last_progress > stall_sec:
                     log.write(("\n==== supervise: stalled %ds, killing pid "

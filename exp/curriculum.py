@@ -203,24 +203,53 @@ def write_partial(a, side, results):
     os.replace(tmp, path)
 
 
+def _resumable_results(a):
+    """Phases whose jax numbers are already known — from a prior (possibly
+    committed) report via --jax_resume_report, and from this out-dir's own
+    partial report. A known phase is skipped only when re-running it is
+    unnecessary for the warm-start chain: 'teacher' is chain-independent
+    (pretrain warm-starts from the torch supernet init), every other phase
+    additionally needs its checkpoint still on disk to hand to the next
+    phase (a container wipe keeps the committed report but not /tmp)."""
+    done = {}
+    for path in (a.jax_resume_report,
+                 os.path.join(a.out, "report_partial_jax.json")):
+        if not path or not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                done.update(json.load(f).get("jax") or {})
+        except (OSError, ValueError) as e:
+            print("resume report %s unreadable: %s" % (path, e), flush=True)
+    return done
+
+
 def run_jax_curriculum(a, torch_inits):
     from ofa_sr_tpu.cli import train_ofa_net_sr_simple, train_teacher_net_sr_simple
     from ofa_sr_tpu.models import OFAMobileNetS4, OFAMobileNetX4, SearchSpace
 
     results = {}
+    done = _resumable_results(a)
     # ---- teacher (S4 2x, BN frozen — the reference teacher semantics) ----
-    t_space = SearchSpace(ks_list=[5], expand_list=[3], depth_list=[2],
-                          pixel_d_list=[1])
-    t_init = save_init_checkpoint(torch_inits["teacher"], "s4",
-                                  OFAMobileNetS4(t_space),
-                                  os.path.join(a.out, "init_teacher"))
-    t_path = os.path.join(a.out, "jax", "teacher")
-    best = train_teacher_net_sr_simple.main(
-        jax_common(a) + ["--path", t_path, "--n_epochs", str(a.teacher_epochs),
-                         "--base_lr", str(a.teacher_lr), "--warmup_epochs",
-                         "0", "--warmstart", t_init])
-    results["teacher"] = grid_eval_jax(a, "teacher", t_path)
-    write_partial(a, "jax", results)
+    if "teacher" in done:
+        print("jax teacher: resumed from report (%s)" % done["teacher"],
+              flush=True)
+        results["teacher"] = done["teacher"]
+        write_partial(a, "jax", results)
+    else:
+        t_space = SearchSpace(ks_list=[5], expand_list=[3], depth_list=[2],
+                              pixel_d_list=[1])
+        t_init = save_init_checkpoint(torch_inits["teacher"], "s4",
+                                      OFAMobileNetS4(t_space),
+                                      os.path.join(a.out, "init_teacher"))
+        t_path = os.path.join(a.out, "jax", "teacher")
+        train_teacher_net_sr_simple.main(
+            jax_common(a) + ["--path", t_path, "--n_epochs",
+                             str(a.teacher_epochs),
+                             "--base_lr", str(a.teacher_lr),
+                             "--warmup_epochs", "0", "--warmstart", t_init])
+        results["teacher"] = grid_eval_jax(a, "teacher", t_path)
+        write_partial(a, "jax", results)
 
     # ---- supernet phases, warm-start chained --------------------------------
     x_space = SearchSpace()  # full maxima: bank shapes shared by all phases
@@ -234,28 +263,38 @@ def run_jax_curriculum(a, torch_inits):
         # trains the X4 supernet from scratch at shrink-phase LR, which is
         # why the r3 corners sat at 12-16 dB.
         path = os.path.join(a.out, "jax", "pretrain")
-        argv = jax_common(a) + [
-            "--task", "pretrain", "--phase", "1", "--path", path,
-            "--warmstart", prev, "--reference_quirks",
-            "--n_epochs", str(a.pretrain_epochs),
-            "--base_lr", str(a.pretrain_lr), "--warmup_epochs", "0",
-            "--dynamic_batch_size", "1"]
-        train_ofa_net_sr_simple.main(argv)
-        results["pretrain"] = grid_eval_jax(a, "pretrain", path)
+        ckpt = os.path.join(path, "checkpoint")
+        if "pretrain" in done and os.path.exists(ckpt):
+            print("jax pretrain: resumed from report", flush=True)
+            results["pretrain"] = done["pretrain"]
+        else:
+            argv = jax_common(a) + [
+                "--task", "pretrain", "--phase", "1", "--path", path,
+                "--warmstart", prev, "--reference_quirks",
+                "--n_epochs", str(a.pretrain_epochs),
+                "--base_lr", str(a.pretrain_lr), "--warmup_epochs", "0",
+                "--dynamic_batch_size", "1"]
+            train_ofa_net_sr_simple.main(argv)
+            results["pretrain"] = grid_eval_jax(a, "pretrain", path)
         write_partial(a, "jax", results)
-        prev = os.path.join(path, "checkpoint")
+        prev = ckpt
     for task, spec in phase_table(a):
         path = os.path.join(a.out, "jax", task)
-        argv = jax_common(a) + [
-            "--task", task, "--phase", str(spec["phase"]), "--path", path,
-            "--warmstart", prev, "--reference_quirks",
-            "--n_epochs", str(spec["n_epochs"]),
-            "--base_lr", str(spec["base_lr"]), "--warmup_epochs", "0",
-            "--dynamic_batch_size", str(spec["dynamic_batch_size"])]
-        train_ofa_net_sr_simple.main(argv)
-        results[task] = grid_eval_jax(a, task, path)
+        ckpt = os.path.join(path, "checkpoint")
+        if task in done and os.path.exists(ckpt):
+            print("jax %s: resumed from report" % task, flush=True)
+            results[task] = done[task]
+        else:
+            argv = jax_common(a) + [
+                "--task", task, "--phase", str(spec["phase"]), "--path", path,
+                "--warmstart", prev, "--reference_quirks",
+                "--n_epochs", str(spec["n_epochs"]),
+                "--base_lr", str(spec["base_lr"]), "--warmup_epochs", "0",
+                "--dynamic_batch_size", str(spec["dynamic_batch_size"])]
+            train_ofa_net_sr_simple.main(argv)
+            results[task] = grid_eval_jax(a, task, path)
         write_partial(a, "jax", results)
-        prev = os.path.join(path, "checkpoint")
+        prev = ckpt
     return results
 
 
@@ -589,6 +628,13 @@ def main():
     ap.add_argument("--phase_lr", type=float, default=2.5e-4)
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--skip_jax", action="store_true")
+    ap.add_argument("--jax_resume_report", type=str, default=None,
+                    help="prior (possibly merged/committed) report whose jax "
+                         "phase numbers are trusted: phases listed there are "
+                         "skipped instead of re-trained — 'teacher' "
+                         "unconditionally (it is not on the supernet "
+                         "warm-start chain), others only if their checkpoint "
+                         "is still on disk")
     ap.add_argument("--style", type=str, default="lowpass",
                     choices=["lowpass", "sharp"],
                     help="synthetic dataset style (see gen_tree): 'lowpass' "

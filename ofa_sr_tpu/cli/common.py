@@ -37,6 +37,12 @@ def add_common_args(parser: argparse.ArgumentParser, *, path, n_epochs,
     parser.add_argument("--manual_seed", type=int, default=0)
     parser.add_argument("--validation_frequency", type=int, default=1)
     parser.add_argument("--print_frequency", type=int, default=10)
+    parser.add_argument("--save_frequency", type=int, default=1,
+                        help="epochs between checkpoint saves on non-"
+                             "validation epochs (final epoch always saves). "
+                             "Raise on a relay-attached chip: a save fetches "
+                             "the full params+opt_state from device, which "
+                             "can dwarf the epoch compute.")
     parser.add_argument("--n_worker", type=int, default=8)
     parser.add_argument("--bn_momentum", type=float, default=0.1)
     parser.add_argument("--bn_eps", type=float, default=1e-5)

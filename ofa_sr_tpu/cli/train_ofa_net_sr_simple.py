@@ -109,7 +109,8 @@ def main(argv=None):
         train_batch_size=args.base_batch_size,
         dynamic_batch_size=args.dynamic_batch_size,
         validation_frequency=args.validation_frequency,
-        print_frequency=args.print_frequency, kd_ratio=args.kd_ratio,
+        print_frequency=args.print_frequency,
+        save_frequency=args.save_frequency, kd_ratio=args.kd_ratio,
         manual_seed=args.manual_seed, mode=args.mode,
         bn_momentum=args.bn_momentum, bn_eps=args.bn_eps,
         image_size=args.image_size,

@@ -57,6 +57,7 @@ def main(argv=None):
         train_batch_size=args.base_batch_size,
         validation_frequency=args.validation_frequency,
         print_frequency=args.print_frequency,
+        save_frequency=args.save_frequency,
         manual_seed=args.manual_seed, bn_momentum=args.bn_momentum,
         bn_eps=args.bn_eps, image_size=args.image_size,
         bn_frozen=args.bn_mode == "frozen")

@@ -65,6 +65,26 @@ def test_checkpoint_roundtrip(tmp_path):
     rm2.train()
 
 
+def test_save_frequency_skips_intermediate_epochs(tmp_path):
+    """save_frequency=N saves every Nth non-validation epoch plus the final
+    one (the relay-attached-chip knob: a save fetches the full
+    params+opt_state from device). Validation epochs keep saving so best-
+    checkpoint gating is unaffected."""
+    saves = []
+    rm = _manager(tmp_path, n_epochs=5, validation_frequency=1000,
+                  save_frequency=3)
+    orig = rm.save_model
+    rm.save_model = lambda **kw: (saves.append(kw["epoch"]), orig(**kw))[1]
+    rm.train()
+    # epoch index is 0-based: (epoch+1) % 3 == 0 -> epochs 2; final epoch 4
+    assert saves == [2, 4]
+    # the final save landed on disk for warm-start chaining
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint",
+                                       "latest.txt"))
+    ck = load_checkpoint(os.path.join(str(tmp_path), "checkpoint"))
+    assert int(ck["epoch"]) == 4
+
+
 def test_checkpoint_load_missing_is_graceful(tmp_path):
     rm = _manager(tmp_path / "fresh")
     rm.load_model(str(tmp_path / "nope"))

@@ -76,8 +76,11 @@ def merge(jr: dict, tr: dict) -> dict:
     x4 = {(ph, k): v for ph, corners in out["jax"].items() if ph != "teacher"
           for k, v in corners.items() if k.endswith("PD2")}
     best = max(x4, key=x4.get) if x4 else None
-    final_phase = ("pixelshuffle_depth" if "pixelshuffle_depth" in out["jax"]
-                   else sorted(out["jax"])[-1])
+    # the last *supernet* phase reached in curriculum order (the alphabetical
+    # fallback once picked 'teacher' — not a supernet — on a partial merge)
+    _ORDER = ["pretrain", "kernel", "depth", "expand", "pixelshuffle_depth"]
+    reached = [ph for ph in _ORDER if ph in out["jax"]]
+    final_phase = reached[-1] if reached else "teacher"
     final_pd2 = {k: v for k, v in out["jax"][final_phase].items()
                  if k.endswith("PD2")}
     flat = [d for ph in deltas.values() for d in ph.values()]

@@ -84,3 +84,13 @@ def test_merge_partial_half_lists_missing_phases():
     # headline still computes what it can; corners absent from the jax half
     assert out["headline"]["teacher_margin_db"] is not None
     assert out["headline"]["best_corner"] is None
+
+
+def test_merge_partial_final_phase_is_last_supernet_phase_reached():
+    jax_half = {"teacher": JAX_PHASES["teacher"],
+                "pretrain": JAX_PHASES["pretrain"]}
+    out = merge(_report("jax", jax_half, partial=True),
+                _report("torch", TORCH_PHASES))
+    # NOT 'teacher' (alphabetical last, but not a supernet phase)
+    assert out["headline"]["final_phase"] == "pretrain"
+    assert out["headline"]["final_phase_best_pd2_psnr"] == 24.9

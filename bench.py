@@ -24,6 +24,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -69,6 +70,41 @@ def probed_matmul_tflops(jax, jnp, n=50):
     _ = float(np.asarray(run(a)))
     dt = (time.perf_counter() - t0) / n
     return 2 * 4096 ** 3 / dt / 1e12
+
+
+def require_healthy_chip(jax, jnp, *, min_tflops=80.0, out=None, n=20):
+    """Gate a perf measurement on chip health (VERDICT r4 weak #2: two r4
+    artifacts were measured on a ~57 TF/s chip — half the 97-112 healthy
+    band — and published ~1.7x-understated numbers). Probes the MXU; below
+    `min_tflops` (~0.8x the healthy band's floor) it writes a refusal
+    record to `out` (so retries that never found a healthy window leave a
+    committed trace) and exits 3 for the caller to retry next session.
+    Returns the probed TF/s when healthy."""
+    health = probed_matmul_tflops(jax, jnp, n=n)
+    if health >= min_tflops:
+        return health
+    record = {"refused": True, "health_tflops": round(health, 1),
+              "min_health_tflops": min_tflops,
+              "reason": "chip degraded below 0.8x of the healthy band "
+                        "(97-112 TF/s observed r2-r4); numbers measured "
+                        "now would understate the framework",
+              "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    print(json.dumps(record), flush=True)
+    if out:
+        prior = []
+        if os.path.exists(out):
+            try:
+                with open(out) as f:
+                    old = json.load(f)
+                prior = old.get("refusals", []) + (
+                    [old] if old.get("refused") and "refusals" not in old
+                    else [])
+            except (OSError, ValueError):
+                pass
+        record["refusals"] = prior
+        with open(out, "w") as f:
+            json.dump(record, f, indent=2)
+    raise SystemExit(3)
 
 
 def main():

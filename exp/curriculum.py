@@ -186,6 +186,7 @@ def save_init_checkpoint(torch_sd, which, net, out_dir):
 
 
 _PARTIAL_BASELINE = {}
+_ARG_DEFAULTS = {}  # argparse defaults; filled by main() for resume checks
 
 
 def write_partial(a, side, results):
@@ -207,25 +208,73 @@ def write_partial(a, side, results):
     os.replace(tmp, path)
 
 
-def _resumable_results(a):
-    """Phases whose jax numbers are already known — from a prior (possibly
-    committed) report via --jax_resume_report, and from this out-dir's own
-    partial report. A known phase is skipped only when re-running it is
-    unnecessary for the warm-start chain: 'teacher' is chain-independent
-    (pretrain warm-starts from the torch supernet init), every other phase
-    additionally needs its checkpoint still on disk to hand to the next
-    phase (a container wipe keeps the committed report but not /tmp)."""
+# config keys a phase's numbers depend on — a resume report whose config
+# differs on a phase's keys must NOT donate that phase's numbers (ADVICE r4:
+# a differently-configured run could merge silently into a report claiming
+# the current config). Keys absent from an older report compare against the
+# current argparse default (e.g. r4 reports predate kd_ratio=0.0).
+_DATA_KEYS = ("n_train", "n_val", "img", "crop", "bs", "style",
+              "clip_grad_norm")
+_PHASE_CONFIG_KEYS = {
+    "teacher": _DATA_KEYS + ("teacher_epochs", "teacher_lr"),
+    "pretrain": _DATA_KEYS + ("pretrain_epochs", "pretrain_lr"),
+}
+_SHRINK_KEYS = _DATA_KEYS + ("pretrain_epochs", "pretrain_lr",
+                             "phase_epochs", "phase_lr", "kd_ratio")
+for _t in ("kernel", "depth", "expand", "pixelshuffle_depth"):
+    _PHASE_CONFIG_KEYS[_t] = _SHRINK_KEYS
+
+
+def _resumable_results(a, side="jax"):
+    """Phases whose numbers are already known — from a prior (possibly
+    committed) report via --{side}_resume_report, and from this out-dir's
+    own partial report. A phase is donated only when the report's config
+    matches the current run on every key that phase depends on
+    (_PHASE_CONFIG_KEYS). A known phase is then skipped only when re-running
+    it is unnecessary for the warm-start chain: 'teacher' is
+    chain-independent (pretrain warm-starts from the supernet init); every
+    other phase additionally needs its completed checkpoint still on disk
+    (checkpoint + PHASE_DONE sentinel on the jax side, the saved state_dict
+    on the torch side)."""
     done = {}
-    for path in (a.jax_resume_report,
-                 os.path.join(a.out, "report_partial_jax.json")):
+    for path in (getattr(a, "%s_resume_report" % side, None),
+                 os.path.join(a.out, "report_partial_%s.json" % side)):
         if not path or not os.path.exists(path):
             continue
         try:
             with open(path) as f:
-                done.update(json.load(f).get("jax") or {})
+                rep = json.load(f)
         except (OSError, ValueError) as e:
             print("resume report %s unreadable: %s" % (path, e), flush=True)
+            continue
+        cfg = rep.get("config") or {}
+        for task, numbers in (rep.get(side) or {}).items():
+            bad = [k for k in _PHASE_CONFIG_KEYS.get(task, _SHRINK_KEYS)
+                   if cfg.get(k, _ARG_DEFAULTS.get(k)) != getattr(a, k)]
+            if bad:
+                print("%s %s in %s NOT resumable: config differs on %s"
+                      % (side, task, path,
+                         {k: (cfg.get(k, _ARG_DEFAULTS.get(k)),
+                              getattr(a, k)) for k in bad}), flush=True)
+                continue
+            done[task] = numbers
     return done
+
+
+def _phase_complete(path):
+    """True iff the phase at <path> finished training AND its grid eval ran
+    (the PHASE_DONE sentinel is written after grid_eval_jax). ADVICE r4
+    (medium): SRRunManager makedirs the checkpoint dir before any save, so
+    directory existence never proves completion — an interrupted phase
+    would silently resume as done and hand a half-trained checkpoint to the
+    next phase."""
+    return (os.path.exists(os.path.join(path, "checkpoint", "latest.txt"))
+            and os.path.exists(os.path.join(path, "PHASE_DONE.json")))
+
+
+def _mark_phase_complete(path, task, results):
+    with open(os.path.join(path, "PHASE_DONE.json"), "w") as f:
+        json.dump({"task": task, "results": results}, f)
 
 
 def run_jax_curriculum(a, torch_inits):
@@ -261,6 +310,7 @@ def run_jax_curriculum(a, torch_inits):
                                   OFAMobileNetX4(x_space),
                                   os.path.join(a.out, "init_supernet"))
     prev = x_init
+    pretrain_ckpt = None
     if a.pretrain_epochs:
         # max-net pretrain — the reference's kernel-phase warm start
         # (train_ofa_net_sr_simple.py:236-240). Without it every phase
@@ -268,7 +318,7 @@ def run_jax_curriculum(a, torch_inits):
         # why the r3 corners sat at 12-16 dB.
         path = os.path.join(a.out, "jax", "pretrain")
         ckpt = os.path.join(path, "checkpoint")
-        if "pretrain" in done and os.path.exists(ckpt):
+        if "pretrain" in done and _phase_complete(path):
             print("jax pretrain: resumed from report", flush=True)
             results["pretrain"] = done["pretrain"]
         else:
@@ -280,12 +330,14 @@ def run_jax_curriculum(a, torch_inits):
                 "--dynamic_batch_size", "1"]
             train_ofa_net_sr_simple.main(argv)
             results["pretrain"] = grid_eval_jax(a, "pretrain", path)
+            _mark_phase_complete(path, "pretrain", results["pretrain"])
         write_partial(a, "jax", results)
         prev = ckpt
+        pretrain_ckpt = ckpt
     for task, spec in phase_table(a):
         path = os.path.join(a.out, "jax", task)
         ckpt = os.path.join(path, "checkpoint")
-        if task in done and os.path.exists(ckpt):
+        if task in done and _phase_complete(path):
             print("jax %s: resumed from report" % task, flush=True)
             results[task] = done[task]
         else:
@@ -295,8 +347,15 @@ def run_jax_curriculum(a, torch_inits):
                 "--n_epochs", str(spec["n_epochs"]),
                 "--base_lr", str(spec["base_lr"]), "--warmup_epochs", "0",
                 "--dynamic_batch_size", str(spec["dynamic_batch_size"])]
+            if a.kd_ratio > 0:
+                # KD from the trained max-net (VERDICT r4 next #2): the
+                # reference intended exactly this in its supernet phases
+                # (progressive_shrinking.py:182-192, bugged there)
+                argv += ["--kd_ratio", str(a.kd_ratio),
+                         "--kd_teacher", pretrain_ckpt]
             train_ofa_net_sr_simple.main(argv)
             results[task] = grid_eval_jax(a, task, path)
+            _mark_phase_complete(path, task, results[task])
         write_partial(a, "jax", results)
         prev = ckpt
     return results
@@ -463,7 +522,7 @@ def run_torch_curriculum(a, torch_inits):
     results = {}
 
     def train_epochs(net, n_epochs, base_lr, dyn_bs, *, bn_eval,
-                     sample=None, tag=""):
+                     sample=None, tag="", teacher=None):
         opt = torch_optimizer(net, base_lr)
         t0 = time.time()
         for epoch in range(n_epochs):
@@ -486,6 +545,13 @@ def run_torch_curriculum(a, torch_inits):
                     g["lr"] = lr
                 hr = nchw(b["image"])
                 lrs = {1: nchw(b["x2"]), 2: nchw(b["x4"])}
+                t_out = None
+                if teacher is not None:
+                    # teacher forward once per batch, shared across the
+                    # subnet loop — same step shape as the jax side
+                    # (train/train_step.py make_train_step)
+                    with torch.no_grad():
+                        t_out = teacher(lrs[2])
                 opt.zero_grad()
                 for k in range(dyn_bs):
                     # the determinism contract (progressive_shrinking.py:161-165)
@@ -495,7 +561,12 @@ def run_torch_curriculum(a, torch_inits):
                     else:
                         settings = sample()
                         pd = settings["pixel_d"][0]
-                    loss = F.mse_loss(net(lrs[pd]), hr)
+                    out = net(lrs[pd])
+                    loss = F.mse_loss(out, hr)
+                    if t_out is not None:
+                        # the fixed SR KD semantics (see _subnet_loss)
+                        loss = (a.kd_ratio * F.mse_loss(out, t_out) + loss) \
+                            * (2.0 / (a.kd_ratio + 1.0))
                     loss.backward()
                 if a.clip_grad_norm > 0:
                     # raw grads, before the optimizer's decoupled wd joins —
@@ -504,32 +575,80 @@ def run_torch_curriculum(a, torch_inits):
                                                    a.clip_grad_norm)
                 opt.step()
 
-    # ---- teacher ----------------------------------------------------------
-    teacher = RefS4(ks_list=[5], expand_ratio_list=[3], depth_list=[2],
-                    pixelshuffle_depth_list=[1])
-    teacher.load_state_dict(torch_inits["teacher"])
-    train_epochs(teacher, a.teacher_epochs, a.teacher_lr, 1, bn_eval=True,
-                 tag="teacher")
-    results["teacher"] = torch_grid_eval(teacher, provider, [(5, 3, 2, 1)],
-                                         is_x4=False)
-    print("torch teacher done: %s" % results["teacher"], flush=True)
+    done = _resumable_results(a, "torch")
+    ckdir = os.path.join(a.out, "torch_ckpt")
+    os.makedirs(ckdir, exist_ok=True)
+
+    def save_sd(tag, sd):
+        # per-phase state_dict snapshots: the torch half is hours of
+        # single-CPU work; a crash must not restart the whole chain
+        torch.save(sd, os.path.join(ckdir, tag + ".pt"))
+
+    def resumable(tag):
+        return tag in done and os.path.exists(
+            os.path.join(ckdir, tag + ".pt"))
+
+    def load_sd(tag):
+        return torch.load(os.path.join(ckdir, tag + ".pt"))
+
+    # ---- teacher (chain-independent: resumable from the report alone) -----
+    if "teacher" in done:
+        print("torch teacher: resumed from report (%s)" % done["teacher"],
+              flush=True)
+        results["teacher"] = done["teacher"]
+    else:
+        teacher = RefS4(ks_list=[5], expand_ratio_list=[3], depth_list=[2],
+                        pixelshuffle_depth_list=[1])
+        teacher.load_state_dict(torch_inits["teacher"])
+        train_epochs(teacher, a.teacher_epochs, a.teacher_lr, 1, bn_eval=True,
+                     tag="teacher")
+        results["teacher"] = torch_grid_eval(teacher, provider,
+                                             [(5, 3, 2, 1)], is_x4=False)
+        print("torch teacher done: %s" % results["teacher"], flush=True)
     write_partial(a, "torch", results)
 
     # ---- supernet phases --------------------------------------------------
     prev_sd = torch_inits["supernet"]
     if a.pretrain_epochs:
-        net = RefX4(ks_list=[7], expand_ratio_list=[6], depth_list=[4],
-                    pixelshuffle_depth_list=[2])
-        net.forward = types.MethodType(_sr_mode_forward, net)
-        net.load_state_dict(prev_sd, strict=False)
-        train_epochs(net, a.pretrain_epochs, a.pretrain_lr, 1, bn_eval=False,
-                     sample=net.sample_active_subnet, tag="pretrain")
-        results["pretrain"] = torch_grid_eval(net, provider, [(7, 6, 4, 2)],
-                                              is_x4=True)
-        print("torch pretrain done: %s" % results["pretrain"], flush=True)
+        if resumable("pretrain"):
+            print("torch pretrain: resumed", flush=True)
+            results["pretrain"] = done["pretrain"]
+            prev_sd = load_sd("pretrain")
+        else:
+            net = RefX4(ks_list=[7], expand_ratio_list=[6], depth_list=[4],
+                        pixelshuffle_depth_list=[2])
+            net.forward = types.MethodType(_sr_mode_forward, net)
+            net.load_state_dict(prev_sd, strict=False)
+            train_epochs(net, a.pretrain_epochs, a.pretrain_lr, 1,
+                         bn_eval=False, sample=net.sample_active_subnet,
+                         tag="pretrain")
+            results["pretrain"] = torch_grid_eval(net, provider,
+                                                  [(7, 6, 4, 2)], is_x4=True)
+            print("torch pretrain done: %s" % results["pretrain"], flush=True)
+            prev_sd = net.state_dict()
+            save_sd("pretrain", prev_sd)
         write_partial(a, "torch", results)
-        prev_sd = net.state_dict()
+
+    kd_teacher = None
+    if a.kd_ratio > 0:
+        # frozen max-net KD teacher = the finished pretrain net (the same
+        # checkpoint the jax side's --kd_teacher points at)
+        kd_teacher = RefX4(ks_list=[7], expand_ratio_list=[6], depth_list=[4],
+                           pixelshuffle_depth_list=[2])
+        kd_teacher.forward = types.MethodType(_sr_mode_forward, kd_teacher)
+        kd_teacher.load_state_dict(prev_sd, strict=False)
+        kd_teacher.set_active_subnet(ks=7, e=6, d=4, pixel_d=[2])
+        kd_teacher.eval()
+        for p in kd_teacher.parameters():
+            p.requires_grad_(False)
+
     for task, spec in phase_table(a):
+        if resumable(task):
+            print("torch %s: resumed" % task, flush=True)
+            results[task] = done[task]
+            prev_sd = load_sd(task)
+            write_partial(a, "torch", results)
+            continue
         net = RefX4(ks_list=spec["ks_list"],
                     expand_ratio_list=spec["expand_list"],
                     depth_list=spec["depth_list"],
@@ -545,7 +664,7 @@ def run_torch_curriculum(a, torch_inits):
         if task == "kernel":
             train_epochs(net, spec["n_epochs"], spec["base_lr"],
                          spec["dynamic_batch_size"], bn_eval=False,
-                         sample=sample, tag=task)
+                         sample=sample, tag=task, teacher=kd_teacher)
         else:
             dims = {"depth": ("depth", sorted(spec["depth_list"],
                                               reverse=True)),
@@ -565,7 +684,8 @@ def run_torch_curriculum(a, torch_inits):
                 train_epochs(net, spec["n_epochs"], spec["base_lr"],
                              spec["dynamic_batch_size"], bn_eval=False,
                              sample=sample,
-                             tag="%s-stage%d" % (task, stage))
+                             tag="%s-stage%d" % (task, stage),
+                             teacher=kd_teacher)
             for t in ("_depth_include_list", "_expand_include_list",
                       "_pixelshuffle_depth_include_list",
                       "_ks_include_list"):
@@ -573,8 +693,9 @@ def run_torch_curriculum(a, torch_inits):
         results[task] = torch_grid_eval(net, provider, grid_corners(spec),
                                         is_x4=True)
         print("torch %s done: %s" % (task, results[task]), flush=True)
-        write_partial(a, "torch", results)
         prev_sd = net.state_dict()
+        save_sd(task, prev_sd)
+        write_partial(a, "torch", results)
     return results
 
 
@@ -630,6 +751,12 @@ def main():
                          "at epoch 98)")
     ap.add_argument("--phase_epochs", type=int, default=4)
     ap.add_argument("--phase_lr", type=float, default=2.5e-4)
+    ap.add_argument("--kd_ratio", type=float, default=0.0,
+                    help="KD from the finished pretrain max-net in the "
+                         "supernet shrink phases, on BOTH sides (the "
+                         "reference's intended-but-bugged SR KD, "
+                         "progressive_shrinking.py:182-192). Requires "
+                         "--pretrain_epochs > 0. 0 = off (the r3/r4 recipe).")
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--skip_jax", action="store_true")
     ap.add_argument("--jax_resume_report", type=str, default=None,
@@ -637,8 +764,13 @@ def main():
                          "phase numbers are trusted: phases listed there are "
                          "skipped instead of re-trained — 'teacher' "
                          "unconditionally (it is not on the supernet "
-                         "warm-start chain), others only if their checkpoint "
-                         "is still on disk")
+                         "warm-start chain), others only if their completed "
+                         "checkpoint (PHASE_DONE sentinel) is still on disk. "
+                         "Phases whose config keys differ from this run are "
+                         "never resumed.")
+    ap.add_argument("--torch_resume_report", type=str, default=None,
+                    help="same for the torch half (phases need their saved "
+                         "state_dict under <out>/torch_ckpt/)")
     ap.add_argument("--style", type=str, default="lowpass",
                     choices=["lowpass", "sharp"],
                     help="synthetic dataset style (see gen_tree): 'lowpass' "
@@ -653,6 +785,10 @@ def main():
                          "programs (VERDICT r3 weak #6); the cache makes "
                          "re-runs and stage resumes start hot.")
     a = ap.parse_args()
+    _ARG_DEFAULTS.update(vars(ap.parse_args([])))
+    if a.kd_ratio > 0 and not a.pretrain_epochs:
+        ap.error("--kd_ratio > 0 requires --pretrain_epochs > 0 (the "
+                 "pretrain max-net is the KD teacher)")
     if a.compile_cache and not a.skip_jax:
         try:
             import jax

@@ -102,16 +102,23 @@ def main():
     ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--res", type=int, default=224)
     ap.add_argument("--n_inner", type=int, default=8)
+    ap.add_argument("--min_health", type=float, default=80.0,
+                    help="refuse to measure below this probed TF/s "
+                         "(0 disables the gate)")
     a = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from bench import probed_matmul_tflops
+    from bench import probed_matmul_tflops, require_healthy_chip
     from ofa_sr_tpu.models.ofa_cls import OFAMobileNetV3
     from ofa_sr_tpu.train.cls_trainer import ClsTrainer
 
-    health0 = probed_matmul_tflops(jax, jnp, n=20)
+    # refuse degraded windows (VERDICT r4 weak #2: the r4 cls number was
+    # measured at 57 TF/s and understates by ~1.7x); exits 3 + records the
+    # refusal in --out so a healthy-window retry is auditable
+    health0 = require_healthy_chip(jax, jnp, min_tflops=a.min_health,
+                                   out=a.out)
     print("health: %.1f TF/s" % health0, flush=True)
 
     net = OFAMobileNetV3()

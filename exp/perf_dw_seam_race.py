@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--n_inner", type=int, default=16)
     ap.add_argument("--variants", type=str,
-                    default="base,dus,align,live")
+                    default="base,align,live,align_live")
     a = ap.parse_args()
 
     import jax
@@ -78,6 +78,10 @@ def main():
         "dus": {"seam": "dus"},
         "align": {"align": 128},
         "live": {"live": (None, (4, 6))},
+        # the two r4 winners combined (VERDICT r4 next #4): lane-aligned
+        # width candidates x live-narrowed branch lists — fewer AND cheaper
+        # branches; raced equal-n against each alone
+        "align_live": {"align": 128, "live": (None, (4, 6))},
     }
 
     def run_variant(name):
@@ -101,18 +105,15 @@ def main():
             _ = float(np.asarray(m["loss"]))
             return (time.perf_counter() - t0) * 1000
 
-        slopes, walls = [], []
-        for _ in range(3):
-            t_small = window(2)
-            t_big = window(6)
-            slopes.append((t_big - t_small) / (4 * n_inner))
-            walls.append(t_big / (6 * n_inner))
-        slopes.sort()
-        walls.sort()
-        ok = [t for t in slopes if t > 0.2 * walls[0]]
-        best = ok[0] if ok else walls[0]
-        return {"step_ms_best": round(best, 3),
+        # guarded slope sampling (VERDICT r4 weak #4: the r4 base variant
+        # committed a -134 ms sample; the shared guard resamples garbage
+        # windows and raises rather than publish a non-physical number)
+        from ofa_sr_tpu.search.latency import sample_slopes
+        kept, rejected = sample_slopes(window, n_small=2, n_big=6, reps=3)
+        slopes = [t / n_inner for t in kept]
+        return {"step_ms_best": round(slopes[0], 3),
                 "step_ms_all": [round(t, 3) for t in slopes],
+                "rejected_ms": [round(t / n_inner, 3) for t in rejected],
                 "warm_loss": round(warm, 5),
                 "compile_s": round(compile_s, 1)}
 

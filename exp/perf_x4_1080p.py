@@ -39,18 +39,24 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--hw", type=int, nargs=2, default=(1088, 1920),
                     help="HR frame size (multiples of 4 for pd=2)")
+    ap.add_argument("--min_health", type=float, default=80.0,
+                    help="refuse to measure below this probed TF/s "
+                         "(0 disables the gate)")
     a = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from bench import probed_matmul_tflops
+    from bench import probed_matmul_tflops, require_healthy_chip
     from ofa_sr_tpu.models import OFAMobileNetX4, SearchSpace
     from ofa_sr_tpu.models.arch import uniform_subnet
     from ofa_sr_tpu.models.materialize import get_active_subnet
     from ofa_sr_tpu.search.latency import measure_latency_device
 
-    health0 = probed_matmul_tflops(jax, jnp, n=20)
+    # refuse degraded windows (VERDICT r4 weak #2: the r4 1080p number was
+    # measured at 56 TF/s); exits 3 + records the refusal in --out
+    health0 = require_healthy_chip(jax, jnp, min_tflops=a.min_health,
+                                   out=a.out)
     print("health: %.1f TF/s" % health0, flush=True)
 
     space = SearchSpace()

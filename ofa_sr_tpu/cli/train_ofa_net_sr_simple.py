@@ -76,6 +76,13 @@ def build_args(argv=None):
                    choices=["sr", "autoencoder"],
                    help="sr: decoder-only on bicubic LR (the README config); "
                         "autoencoder: learned downscale + SR")
+    p.add_argument("--kd_teacher", type=str, default=None,
+                   help="checkpoint dir/file of a trained max-net "
+                        "(ks7/e6/d4/pd2 X4) used as the KD teacher when "
+                        "--kd_ratio > 0 — the working version of the "
+                        "reference's intended supernet-phase KD "
+                        "(progressive_shrinking.py:182-192, bugged there "
+                        "with a `labels` NameError; SURVEY.md §7.3)")
     # warmup_epochs/dynamic_batch_size default to None so the TASK_PHASES
     # preset values apply unless explicitly overridden on the CLI
     add_common_args(p, path=None, n_epochs=None, base_lr=None, batch_size=16,
@@ -100,6 +107,32 @@ def main(argv=None):
                          bn_eps=args.bn_eps,
                          use_transform=args.dy_conv_scaling_mode == 1)
     provider = make_sr_provider(args, Div2KSetXXProvider)
+
+    teacher = None
+    kd_ratio = args.kd_ratio
+    if kd_ratio > 0 and args.kd_teacher:
+        import jax
+        from flax import serialization
+        from ..models.arch import reference_quirk_arch_x4, uniform_subnet
+        from ..train.checkpoint import load_checkpoint
+        t_space = SearchSpace(ks_list=[7], expand_list=[6], depth_list=[4],
+                              pixel_d_list=[2])
+        t_net = OFAMobileNetX4(t_space, bn_momentum=args.bn_momentum,
+                               bn_eps=args.bn_eps,
+                               use_transform=args.dy_conv_scaling_mode == 1)
+        tp, ts = t_net.init(jax.random.PRNGKey(0))
+        raw = load_checkpoint(args.kd_teacher)
+        t_params = serialization.from_state_dict(tp, raw["params"])
+        t_state = serialization.from_state_dict(ts, raw["state"])
+        t_cfg = uniform_subnet(t_space, 7, 6, 4, 2, n_trunks=t_net.n_trunks)
+        if args.reference_quirks:
+            # the teacher checkpoint was trained on the as-executed quirk
+            # architecture — score/teach with the same net
+            t_cfg = reference_quirk_arch_x4(t_cfg)
+        teacher = (t_net, t_params, t_state, t_cfg)
+    elif kd_ratio > 0:
+        kd_ratio = 0.0  # no teacher checkpoint available
+
     cfg = RunConfig(
         **perf_config_kw(args),
         n_epochs=args.n_epochs, base_lr=args.base_lr,
@@ -110,12 +143,12 @@ def main(argv=None):
         dynamic_batch_size=args.dynamic_batch_size,
         validation_frequency=args.validation_frequency,
         print_frequency=args.print_frequency,
-        save_frequency=args.save_frequency, kd_ratio=args.kd_ratio,
+        save_frequency=args.save_frequency, kd_ratio=kd_ratio,
         manual_seed=args.manual_seed, mode=args.mode,
         bn_momentum=args.bn_momentum, bn_eps=args.bn_eps,
         image_size=args.image_size,
         reference_quirks=args.reference_quirks)
-    rm = SRRunManager(args.path, net, cfg, provider)
+    rm = SRRunManager(args.path, net, cfg, provider, teacher=teacher)
 
     # eval grid pinned to min/max of each dimension
     # (train_ofa_net_sr_simple.py:227-232)

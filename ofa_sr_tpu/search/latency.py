@@ -159,6 +159,55 @@ def measure_latency_device(fn: Callable, x, n_small=16, n_big=48, reps=3,
         n_small, n_big = n_small * scale, n_big * scale
 
 
+def filter_slope_samples(samples, *, floor_ms=0.0, max_spread=3.0):
+    """Drop non-physical slope-timing samples (a committed r4 artifact
+    carried a -134.373 ms "measurement" — DW_SEAM_RACE_r04.json): a
+    non-positive slope means the small window outran the big one, i.e. the
+    harness hiccuped (relay stall mid-window), and a sample further than
+    `max_spread`x from the median of the positive samples is a jitter
+    outlier. Pure function; returns (kept, rejected), both sorted."""
+    pos = [s for s in samples if s > floor_ms]
+    rejected = [s for s in samples if s <= floor_ms]
+    if not pos:
+        return [], sorted(rejected)
+    med = float(np.median(pos))
+    lo, hi = med / max_spread, med * max_spread
+    kept = [s for s in pos if lo <= s <= hi]
+    rejected += [s for s in pos if not (lo <= s <= hi)]
+    return sorted(kept), sorted(rejected)
+
+
+def sample_slopes(window_fn, *, n_small, n_big, reps=3, max_attempts=None,
+                  floor_ms=0.0, max_spread=3.0):
+    """Collect `reps` guarded slope samples from paired timing windows.
+
+    `window_fn(k)` = wall-clock ms of k chained dispatches (value-fetch
+    terminated). One sample = (window_fn(n_big) - window_fn(n_small)) /
+    (n_big - n_small), the per-dispatch slope with the constant dispatch +
+    fetch cost cancelled. Garbage samples (filter_slope_samples) are
+    resampled up to `max_attempts` (default 2*reps+2) total pairs; raises
+    if nothing survives so a race can never headline a non-physical
+    number. Returns (kept, rejected) in ms, both sorted."""
+    if max_attempts is None:
+        max_attempts = 2 * reps + 2
+    raw = []
+    kept, rejected = [], []
+    for _ in range(max_attempts):
+        t_small = window_fn(n_small)
+        t_big = window_fn(n_big)
+        raw.append((t_big - t_small) / (n_big - n_small))
+        kept, rejected = filter_slope_samples(raw, floor_ms=floor_ms,
+                                              max_spread=max_spread)
+        if len(kept) >= reps:
+            break
+    if not kept:
+        raise RuntimeError(
+            "sample_slopes: all %d slope samples were non-physical "
+            "(%s) — harness/relay is broken; do not publish this window"
+            % (len(raw), [round(s, 3) for s in raw]))
+    return kept, rejected
+
+
 def build_latency_table(net, params, state, space, hr_size=96,
                         batch_size=1, iters=10, device_timing=True):
     """Measure each materialized uniform subnet corner on the device and

@@ -121,6 +121,13 @@ class RunConfig:
     # contractions, exact; ops/s2d.py). S4 only.
     s2d: bool = False
 
+    def __post_init__(self):
+        # (epoch + 1) % save_frequency in train() divides by this; 0 or a
+        # negative value is always a config error, never a behavior
+        if self.save_frequency < 1:
+            raise ValueError("save_frequency must be >= 1 (got %r)"
+                             % (self.save_frequency,))
+
     @property
     def config(self):
         return dataclasses.asdict(self)

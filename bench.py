@@ -419,6 +419,14 @@ def main():
             "speed_of_light_imgs_per_sec": round(sol_imgs_per_sec, 1),
             "vs_baseline_meaning": "fraction of bf16 MXU speed-of-light for "
                                    "the executed (sampled-subnet) conv FLOPs",
+            # r3's vs_probed_peak (0.1175) and r4+'s are computed under
+            # DIFFERENT FLOPs denominators — the step got FASTER r3->r4
+            # (23.19 -> 22.58 ms) while the ratio fell, because r4 stopped
+            # billing the dw at max shape. Don't read the ratio delta across
+            # that boundary as a perf regression (DESIGN.md §7.1).
+            "accounting": "executed-flops-v2 (r4+): dw billed at sampled "
+                          "ks x lane-aligned width, not max shape; r1-r3 "
+                          "BENCH ratios use v1 and are not comparable",
             "multi_subnet_kd": multi_detail,
             "deployment": eval_detail,
         },

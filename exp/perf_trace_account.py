@@ -31,7 +31,7 @@ from collections import defaultdict
 import numpy as np
 
 
-def build_step(dtype, remat, n_inner, dw_switch=False):
+def build_step(dtype, remat, n_inner, dw_switch=False, dw_opts=None):
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +43,7 @@ def build_step(dtype, remat, n_inner, dw_switch=False):
     net = OFAMobileNetS4(space)
     params, state = net.init(jax.random.PRNGKey(0))
     trainer = SRTrainer(net, opt_type="adam", weight_decay=3e-5,
-                        remat=remat, dw_switch=dw_switch,
+                        remat=remat, dw_switch=dw_switch, dw_opts=dw_opts,
                         compute_dtype=jnp.bfloat16 if dtype == "bf16" else None)
     opt_state = trainer.init_opt_state(params)
 
@@ -56,6 +56,17 @@ def build_step(dtype, remat, n_inner, dw_switch=False):
     }
     cfgs = [sample_subnet(space, seed=subnet_seed(0, 50, i, 0))
             for i in range(8)]
+    if dw_opts and dw_opts.get("live"):
+        # a live-narrowed step only compiles branches for the live lists —
+        # clamp sampled archs into them (the race scripts sample compatible
+        # archs the same way)
+        import dataclasses
+        live_ks, live_e = dw_opts["live"]
+        clamp = lambda v, allowed: (v if allowed is None or v in allowed
+                                    else min(allowed, key=lambda a_: abs(a_ - v)))
+        cfgs = [dataclasses.replace(
+                    c, ks=tuple(clamp(k, live_ks) for k in c.ks),
+                    e=tuple(clamp(e, live_e) for e in c.e)) for c in cfgs]
     scan_step = trainer.make_scan_train_step(n_subnets=1, donate=False)
     batches = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (n_inner,) + a.shape), batch)
@@ -187,13 +198,26 @@ def main():
                          "'project' = branch dw+BN+act+project (dwp) — "
                          "same form as the main CLIs (cli/common.py)")
     ap.add_argument("--trace_dir", default="/tmp/ofa_trace")
+    ap.add_argument("--dw_align", type=int, default=0,
+                    help="lane-tile width alignment for the dw branch set "
+                         "(the adopted bench config is 128; 0 = off)")
+    ap.add_argument("--dw_live_e", type=str, default="",
+                    help="comma list, e.g. '4,6': narrow the dw branch "
+                         "grid to these expand ratios (what a shrink "
+                         "stage's step compiles via set_constraint)")
     a = ap.parse_args()
     remat = a.remat if a.remat in ("pair", "all", "all_save_bn") else \
         (a.remat == "True")
 
+    dw_opts = {}
+    if a.dw_align:
+        dw_opts["align"] = a.dw_align
+    if a.dw_live_e:
+        dw_opts["live"] = (None, tuple(int(x)
+                                       for x in a.dw_live_e.split(",")))
     dws = {"off": False, "dw": True, "project": "project"}[a.dw_switch]
     dispatch, (p, s, o) = build_step(a.dtype, remat, a.inner,
-                                     dw_switch=dws)
+                                     dw_switch=dws, dw_opts=dw_opts or None)
     p, s, o, m = dispatch(p, s, o)  # compile + warm
     _ = float(np.asarray(m["loss"]))
 

@@ -72,22 +72,67 @@ def probed_matmul_tflops(jax, jnp, n=50):
     return 2 * 4096 ** 3 / dt / 1e12
 
 
-def require_healthy_chip(jax, jnp, *, min_tflops=80.0, out=None, n=20):
+def probed_matmul_tflops_slope(jax, jnp, n_small=10, n_big=40, reps=2):
+    """RTT-immune health probe: TF/s from the SLOPE between two scan
+    lengths, cancelling the constant dispatch+fetch cost. The single-window
+    probe (probed_matmul_tflops) carries one relay RTT inside its timed
+    dispatch — at a true 110 TF/s and 30 ms RTT, an n=20 window reads
+    ~54 TF/s (device work 27 ms + RTT 30 ms), misdiagnosing a slow relay
+    as a degraded chip. Observed live 2026-08-19: relay_probe (n=50) read
+    110.0 while the n=20 gate read 54.3 on the same chip minutes apart.
+    Takes min-of-reps per window (noise only inflates)."""
+    from jax import lax
+
+    a = jnp.asarray(np.random.RandomState(0).rand(4096, 4096) * 1e-3,
+                    jnp.bfloat16)
+
+    def make(n):
+        @jax.jit
+        def run(m):
+            def body(c, _):
+                return (c @ c) * 1e-3, None
+            y, _ = lax.scan(body, m, None, length=n)
+            return jnp.sum(y.astype(jnp.float32))
+        _ = float(np.asarray(run(a)))  # compile + warm
+        return run
+
+    run_s, run_b = make(n_small), make(n_big)
+    times = {}
+    for tag, run in (("s", run_s), ("b", run_b)):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(run(a)))
+            best = min(best, time.perf_counter() - t0)
+        times[tag] = best
+    dt = (times["b"] - times["s"]) / (n_big - n_small)
+    if dt <= 0:  # relay hiccup mid-window; fall back to the big window
+        dt = times["b"] / n_big
+    return 2 * 4096 ** 3 / dt / 1e12
+
+
+def require_healthy_chip(jax, jnp, *, min_tflops=150.0, out=None, n=20):
     """Gate a perf measurement on chip health (VERDICT r4 weak #2: two r4
-    artifacts were measured on a ~57 TF/s chip — half the 97-112 healthy
-    band — and published ~1.7x-understated numbers). Probes the MXU; below
-    `min_tflops` (~0.8x the healthy band's floor) it writes a refusal
-    record to `out` (so retries that never found a healthy window leave a
-    committed trace) and exits 3 for the caller to retry next session.
-    Returns the probed TF/s when healthy."""
-    health = probed_matmul_tflops(jax, jnp, n=n)
+    artifacts were measured on a ~57 TF/s probed chip and published
+    ~1.7x-understated numbers). Probes the MXU with the RTT-immune slope
+    probe; below `min_tflops` it writes a refusal record to `out` (so
+    retries that never found a healthy window leave a committed trace)
+    and exits 3 for the caller to retry next session. Returns the probed
+    TF/s when healthy.
+
+    Calibration note (r5): the r2-r4 "97-112 TF/s healthy band" was
+    measured with the single-window probe, which carries one relay RTT
+    inside its timed dispatch. The slope probe on the same healthy chip
+    reads ~188 TF/s (~95% of v5e bf16 peak, 197) — so the slope-scale
+    gate is 150 (~0.8x of 188), not 80."""
+    health = probed_matmul_tflops_slope(jax, jnp)
     if health >= min_tflops:
         return health
     record = {"refused": True, "health_tflops": round(health, 1),
               "min_health_tflops": min_tflops,
-              "reason": "chip degraded below 0.8x of the healthy band "
-                        "(97-112 TF/s observed r2-r4); numbers measured "
-                        "now would understate the framework",
+              "reason": "chip degraded below 0.8x of the healthy slope-"
+                        "probe band (~188 TF/s RTT-immune, r5); numbers "
+                        "measured now would understate the framework",
               "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     print(json.dumps(record), flush=True)
     if out:
@@ -119,7 +164,7 @@ def main():
     # is recorded either way)
     deadline = time.time() + 300
     while True:
-        health = probed_matmul_tflops(jax, jnp, n=20)
+        health = probed_matmul_tflops_slope(jax, jnp)
         if health > 30 or time.time() > deadline:
             break
         time.sleep(60)
@@ -201,7 +246,11 @@ def main():
     median_ms = (plausible[len(plausible) // 2] if plausible
                  else window_ms[len(window_ms) // 2])
     rtt = dispatch_rtt_ms(jax, jnp)
-    peak_probe = probed_matmul_tflops(jax, jnp)
+    # slope probe: the single-window probe carries one relay RTT inside its
+    # timed dispatch and understates the chip on slow-relay sessions (54 vs
+    # 110 TF/s observed on the same chip) — which would OVERSTATE
+    # vs_probed_peak. r1-r4 probes were single-window.
+    peak_probe = probed_matmul_tflops_slope(jax, jnp)
 
     # -- the real progressive-shrinking envelope (VERDICT r3 item 5): the
     # supernet phases train dynamic_batch_size=4 sampled subnets per
@@ -426,7 +475,10 @@ def main():
             # that boundary as a perf regression (DESIGN.md §7.1).
             "accounting": "executed-flops-v2 (r4+): dw billed at sampled "
                           "ks x lane-aligned width, not max shape; r1-r3 "
-                          "BENCH ratios use v1 and are not comparable",
+                          "BENCH ratios use v1 and are not comparable. "
+                          "r5+: probed peak is RTT-immune slope-timed "
+                          "(r1-r4 single-window probes read low on "
+                          "slow-relay sessions)",
             "multi_subnet_kd": multi_detail,
             "deployment": eval_detail,
         },

@@ -159,7 +159,8 @@ def grid_corners(spec):
 def jax_common(a):
     return ["--data_root", a.data_root, "--image_size", str(a.crop),
             "--base_batch_size", str(a.bs), "--n_worker", "2",
-            "--manual_seed", str(SEED), "--print_frequency", "1000",
+            "--manual_seed", str(getattr(a, "seed", SEED)),
+            "--print_frequency", "1000",
             "--validation_frequency", "1000000",
             # per-epoch saves fetch the full 32 MB params+opt_state through
             # the relay (~90 s measured vs 1.3 s epoch compute) — save every
@@ -214,7 +215,7 @@ def write_partial(a, side, results):
 # the current config). Keys absent from an older report compare against the
 # current argparse default (e.g. r4 reports predate kd_ratio=0.0).
 _DATA_KEYS = ("n_train", "n_val", "img", "crop", "bs", "style",
-              "clip_grad_norm")
+              "clip_grad_norm", "seed")
 _PHASE_CONFIG_KEYS = {
     "teacher": _DATA_KEYS + ("teacher_epochs", "teacher_lr"),
     "pretrain": _DATA_KEYS + ("pretrain_epochs", "pretrain_lr"),
@@ -395,7 +396,9 @@ def grid_eval_jax(a, task, path):
     provider = Div2KSetXXProvider(root=a.data_root, image_size=a.crop,
                                   train_batch_size=a.bs, num_workers=2)
     rm = SRRunManager(os.path.join(a.out, "jax_eval", task), net,
-                      RunConfig(image_size=a.crop, manual_seed=SEED), provider)
+                      RunConfig(image_size=a.crop,
+                                manual_seed=getattr(a, "seed", SEED)),
+                      provider)
     rm.load_weights(os.path.join(path, "checkpoint"))
     out = {}
     for (k, e, d, pd) in corners:
@@ -450,15 +453,17 @@ def load_reference():
     return RefS4, RefX4
 
 
-def make_torch_inits():
+def make_torch_inits(seed=0):
     """Construct the reference nets with the reference's torch init; their
-    state_dicts seed BOTH sides."""
+    state_dicts seed BOTH sides. `seed` offsets the init draw (the subnet
+    sampling contract is seed-independent, f(epoch, step, k) — so --seed
+    varies init + shuffle, the honest axis for seed-stability runs)."""
     import torch
     RefS4, RefX4 = load_reference()
-    torch.manual_seed(TORCH_INIT_SEED)
+    torch.manual_seed(TORCH_INIT_SEED + 1000 * seed)
     teacher = RefS4(ks_list=[5], expand_ratio_list=[3], depth_list=[2],
                     pixelshuffle_depth_list=[1])
-    torch.manual_seed(TORCH_INIT_SEED + 1)
+    torch.manual_seed(TORCH_INIT_SEED + 1000 * seed + 1)
     supernet = RefX4(ks_list=[3, 5, 7], expand_ratio_list=[3, 4, 6],
                      depth_list=[2, 3, 4], pixelshuffle_depth_list=[1, 2])
     return {"teacher": teacher.state_dict(),
@@ -757,6 +762,12 @@ def main():
                          "reference's intended-but-bugged SR KD, "
                          "progressive_shrinking.py:182-192). Requires "
                          "--pretrain_epochs > 0. 0 = off (the r3/r4 recipe).")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init + shuffle seed (the subnet sampling contract "
+                         "is seed-independent by design); seed-stability "
+                         "runs vary this. Data generation stays at the "
+                         "shared SEED so all seeds train on identical "
+                         "images.")
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--skip_jax", action="store_true")
     ap.add_argument("--jax_resume_report", type=str, default=None,
@@ -806,7 +817,7 @@ def main():
                  style=a.style)
 
     report = {"config": vars(a), "baseline_bicubic": bicubic_baseline(a)}
-    torch_inits = make_torch_inits()
+    torch_inits = make_torch_inits(a.seed)
 
     if not a.skip_jax:
         t0 = time.time()

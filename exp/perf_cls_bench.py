@@ -102,9 +102,10 @@ def main():
     ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--res", type=int, default=224)
     ap.add_argument("--n_inner", type=int, default=8)
-    ap.add_argument("--min_health", type=float, default=80.0,
-                    help="refuse to measure below this probed TF/s "
-                         "(0 disables the gate)")
+    ap.add_argument("--min_health", type=float, default=150.0,
+                    help="refuse to measure below this probed TF/s on the "
+                         "RTT-immune slope scale (healthy ~188; 0 disables "
+                         "the gate)")
     a = ap.parse_args()
 
     import jax

@@ -39,9 +39,10 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--hw", type=int, nargs=2, default=(1088, 1920),
                     help="HR frame size (multiples of 4 for pd=2)")
-    ap.add_argument("--min_health", type=float, default=80.0,
-                    help="refuse to measure below this probed TF/s "
-                         "(0 disables the gate)")
+    ap.add_argument("--min_health", type=float, default=150.0,
+                    help="refuse to measure below this probed TF/s on the "
+                         "RTT-immune slope scale (healthy ~188; 0 disables "
+                         "the gate)")
     a = ap.parse_args()
 
     import jax

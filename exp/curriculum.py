@@ -129,6 +129,11 @@ def phase_table(a):
     for task, phase, dyn_bs in (("kernel", 1, 1), ("depth", 2, 2),
                                 ("expand", 2, 2),
                                 ("pixelshuffle_depth", 1, 1)):
+        if a.sandwich:
+            # the sandwich anchor needs at least one random sample next to
+            # it — phases the reference runs at dynamic_batch_size=1
+            # (kernel, pixelshuffle_depth) train 2 subnets/step here
+            dyn_bs = max(2, dyn_bs)
         preset = TASK_PHASES[(task, phase)]
         out.append((task, dict(
             phase=phase,
@@ -221,7 +226,8 @@ _PHASE_CONFIG_KEYS = {
     "pretrain": _DATA_KEYS + ("pretrain_epochs", "pretrain_lr"),
 }
 _SHRINK_KEYS = _DATA_KEYS + ("pretrain_epochs", "pretrain_lr",
-                             "phase_epochs", "phase_lr", "kd_ratio")
+                             "phase_epochs", "phase_lr", "kd_ratio",
+                             "sandwich")
 for _t in ("kernel", "depth", "expand", "pixelshuffle_depth"):
     _PHASE_CONFIG_KEYS[_t] = _SHRINK_KEYS
 
@@ -304,6 +310,8 @@ def run_jax_curriculum(a, torch_inits):
                              "--warmup_epochs", "0", "--warmstart", t_init])
         results["teacher"] = grid_eval_jax(a, "teacher", t_path)
         write_partial(a, "jax", results)
+    if a.teacher_only:
+        return results
 
     # ---- supernet phases, warm-start chained --------------------------------
     x_space = SearchSpace()  # full maxima: bank shapes shared by all phases
@@ -354,6 +362,8 @@ def run_jax_curriculum(a, torch_inits):
                 # (progressive_shrinking.py:182-192, bugged there)
                 argv += ["--kd_ratio", str(a.kd_ratio),
                          "--kd_teacher", pretrain_ckpt]
+            if a.sandwich:
+                argv += ["--sandwich"]
             train_ofa_net_sr_simple.main(argv)
             results[task] = grid_eval_jax(a, task, path)
             _mark_phase_complete(path, task, results[task])
@@ -527,7 +537,7 @@ def run_torch_curriculum(a, torch_inits):
     results = {}
 
     def train_epochs(net, n_epochs, base_lr, dyn_bs, *, bn_eval,
-                     sample=None, tag="", teacher=None):
+                     sample=None, tag="", teacher=None, sandwich_max=None):
         opt = torch_optimizer(net, base_lr)
         t0 = time.time()
         for epoch in range(n_epochs):
@@ -561,7 +571,16 @@ def run_torch_curriculum(a, torch_inits):
                 for k in range(dyn_bs):
                     # the determinism contract (progressive_shrinking.py:161-165)
                     random.seed(int("%d%.3d%.3d" % (epoch * n_batch + i, k, 0)))
-                    if sample is None:
+                    if sandwich_max is not None and k == 0 and dyn_bs >= 2:
+                        # sandwich rule, mirroring the jax side's
+                        # sample_archs exactly: k=0 pins the phase's max
+                        # corner, no RNG draw (k >= 1 reseed per-k, so
+                        # their sequence matches the non-sandwich run)
+                        mk, me, md, mpd = sandwich_max
+                        net.set_active_subnet(ks=mk, e=me, d=md,
+                                              pixel_d=[mpd])
+                        pd = mpd
+                    elif sample is None:
                         pd = 1
                     else:
                         settings = sample()
@@ -611,6 +630,8 @@ def run_torch_curriculum(a, torch_inits):
                                              [(5, 3, 2, 1)], is_x4=False)
         print("torch teacher done: %s" % results["teacher"], flush=True)
     write_partial(a, "torch", results)
+    if a.teacher_only:
+        return results
 
     # ---- supernet phases --------------------------------------------------
     prev_sd = torch_inits["supernet"]
@@ -666,10 +687,17 @@ def run_torch_curriculum(a, torch_inits):
         def sample():
             return net.sample_active_subnet()
 
+        sandwich_max = None
+        if a.sandwich:
+            sandwich_max = (max(spec["ks_list"]), max(spec["expand_list"]),
+                            max(spec["depth_list"]),
+                            max(spec["pixel_d_list"]))
+
         if task == "kernel":
             train_epochs(net, spec["n_epochs"], spec["base_lr"],
                          spec["dynamic_batch_size"], bn_eval=False,
-                         sample=sample, tag=task, teacher=kd_teacher)
+                         sample=sample, tag=task, teacher=kd_teacher,
+                         sandwich_max=sandwich_max)
         else:
             dims = {"depth": ("depth", sorted(spec["depth_list"],
                                               reverse=True)),
@@ -690,7 +718,8 @@ def run_torch_curriculum(a, torch_inits):
                              spec["dynamic_batch_size"], bn_eval=False,
                              sample=sample,
                              tag="%s-stage%d" % (task, stage),
-                             teacher=kd_teacher)
+                             teacher=kd_teacher,
+                             sandwich_max=sandwich_max)
             for t in ("_depth_include_list", "_expand_include_list",
                       "_pixelshuffle_depth_include_list",
                       "_ks_include_list"):
@@ -762,6 +791,20 @@ def main():
                          "reference's intended-but-bugged SR KD, "
                          "progressive_shrinking.py:182-192). Requires "
                          "--pretrain_epochs > 0. 0 = off (the r3/r4 recipe).")
+    ap.add_argument("--sandwich", action="store_true",
+                    help="sandwich rule in the supernet shrink phases: "
+                         "subnet k=0 of every step pins the phase's max "
+                         "corner (Universally Slimmable Networks), applied "
+                         "identically on both sides. Stops the max/PD2 "
+                         "corner decaying below bicubic through the shrink "
+                         "phases (measured on both backends under the "
+                         "reference recipe). Phases the reference runs at "
+                         "dynamic_batch_size=1 train 2 subnets/step")
+    ap.add_argument("--teacher_only", action="store_true",
+                    help="train + eval just the 2x teacher, then stop "
+                         "(margin-scaling probes: how far the teacher gets "
+                         "above bicubic-x2 as n_train/teacher_epochs grow, "
+                         "VERDICT r4 next #9)")
     ap.add_argument("--seed", type=int, default=0,
                     help="init + shuffle seed (the subnet sampling contract "
                          "is seed-independent by design); seed-stability "

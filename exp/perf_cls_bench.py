@@ -111,7 +111,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import probed_matmul_tflops, require_healthy_chip
+    from bench import probed_matmul_tflops_slope, require_healthy_chip
     from ofa_sr_tpu.models.ofa_cls import OFAMobileNetV3
     from ofa_sr_tpu.train.cls_trainer import ClsTrainer
 
@@ -152,8 +152,11 @@ def main():
                         teacher_arch=t_arch))
     print("n2_kd:", report["n2_kd"], flush=True)
 
+    # same RTT-immune slope scale as the opening gate — the r5 first cut
+    # mixed scales here (196.8 slope before vs 52.6 single-window after),
+    # which read as a mid-bench collapse that never happened
     report["health_tflops_after"] = round(
-        probed_matmul_tflops(jax, jnp, n=20), 1)
+        probed_matmul_tflops_slope(jax, jnp), 1)
     print(json.dumps(report, indent=2))
     if a.out:
         with open(a.out, "w") as f:

@@ -46,12 +46,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import probed_matmul_tflops
+    from bench import probed_matmul_tflops_slope
     from ofa_sr_tpu.models import (OFAMobileNetS4, SearchSpace,
                                    sample_subnet, subnet_seed)
     from ofa_sr_tpu.train import SRTrainer
 
-    health0 = probed_matmul_tflops(jax, jnp, n=20)
+    # RTT-immune slope probe (r5): recorded on the ~188-healthy scale, not
+    # the r4 single-window scale (97-112 healthy)
+    health0 = probed_matmul_tflops_slope(jax, jnp)
     print("health: %.1f TF/s" % health0, flush=True)
 
     space = SearchSpace()
@@ -126,7 +128,7 @@ def main():
         report["variants"][name] = r
         print(name, r, flush=True)
     report["health_tflops_after"] = round(
-        probed_matmul_tflops(jax, jnp, n=20), 1)
+        probed_matmul_tflops_slope(jax, jnp), 1)
     base = report["variants"].get("base", {}).get("step_ms_best")
     if base:
         report["vs_base"] = {

@@ -48,7 +48,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import probed_matmul_tflops, require_healthy_chip
+    from bench import probed_matmul_tflops_slope, require_healthy_chip
     from ofa_sr_tpu.models import OFAMobileNetX4, SearchSpace
     from ofa_sr_tpu.models.arch import uniform_subnet
     from ofa_sr_tpu.models.materialize import get_active_subnet
@@ -113,8 +113,9 @@ def main():
     }
     print("tiled_bf16:", report["tiled_bf16"], flush=True)
 
+    # same RTT-immune slope scale as the opening gate (don't mix scales)
     report["health_tflops_after"] = round(
-        probed_matmul_tflops(jax, jnp, n=20), 1)
+        probed_matmul_tflops_slope(jax, jnp), 1)
     print(json.dumps(report, indent=2))
     if a.out:
         with open(a.out, "w") as f:

@@ -76,6 +76,14 @@ def build_args(argv=None):
                    choices=["sr", "autoencoder"],
                    help="sr: decoder-only on bicubic LR (the README config); "
                         "autoencoder: learned downscale + SR")
+    p.add_argument("--sandwich", action="store_true",
+                   help="sandwich rule: pin sampled subnet k=0 of every "
+                        "step to the max corner within the stage's "
+                        "constraints (Universally Slimmable Networks). "
+                        "Stops the max/PD2 corner decaying through the "
+                        "shrink phases (both backends measured it sinking "
+                        "below bicubic-x4 under the reference's uniform "
+                        "sampling). Needs --dynamic_batch_size >= 2")
     p.add_argument("--kd_teacher", type=str, default=None,
                    help="checkpoint dir/file of a trained max-net "
                         "(ks7/e6/d4/pd2 X4) used as the KD teacher when "
@@ -147,7 +155,8 @@ def main(argv=None):
         manual_seed=args.manual_seed, mode=args.mode,
         bn_momentum=args.bn_momentum, bn_eps=args.bn_eps,
         image_size=args.image_size,
-        reference_quirks=args.reference_quirks)
+        reference_quirks=args.reference_quirks,
+        sandwich_rule=args.sandwich)
     rm = SRRunManager(args.path, net, cfg, provider, teacher=teacher)
 
     # eval grid pinned to min/max of each dimension

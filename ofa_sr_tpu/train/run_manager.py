@@ -72,6 +72,17 @@ class RunConfig:
     dynamic_batch_size: int = 1
     kd_ratio: float = 0.0
     kd_type: Optional[str] = None
+    # sandwich rule (Yu & Huang, "Universally Slimmable Networks", 2019):
+    # pin sampled subnet k=0 of every step to the max corner within the
+    # phase's constraints, so the largest architecture keeps receiving
+    # direct gradient through every shrink stage. The reference's recipe
+    # (uniform sampling, progressive_shrinking.py:161-165) lets the max
+    # corner decay: both backends measured the end-of-curriculum PD2
+    # corner sinking below bicubic-x4 (CURRICULUM_r04.json torch 23.12,
+    # r5 jax 23.60, vs bicubic 24.16). Requires dynamic_batch_size >= 2
+    # (with 1 sample the rule would erase elasticity); k >= 1 draws keep
+    # the reference seed contract exactly (each k reseeds independently).
+    sandwich_rule: bool = False
 
     manual_seed: int = 0
     model_init: str = "he_fout"
@@ -374,12 +385,28 @@ class SRRunManager:
         sp = self.net.space
         cons = constraints or {}
         archs, descs = [], []
+        sandwich = (self.run_config.sandwich_rule and fixed_cfg is None
+                    and self.run_config.dynamic_batch_size >= 2)
         for k in range(self.run_config.dynamic_batch_size):
             seed = subnet_seed(epoch, n_batch, batch_idx, k)
             if fixed_cfg is not None:
                 # one_arch_overfit: train exactly this architecture every
                 # step (reference train_ofa_net_sr_oracle_video.py:93-103)
                 cfg = fixed_cfg
+            elif sandwich and k == 0:
+                # sandwich rule: the max corner within this stage's
+                # constraints (stage candidate lists are largest-first
+                # prefixes, so this is the phase's global max corner). No
+                # RNG draw happens for k=0 — k >= 1 reseed per-k, so their
+                # sequence is identical to the non-sandwich run.
+                from ..models.arch import uniform_subnet
+                cfg = uniform_subnet(
+                    sp,
+                    max(cons.get("ks_candidates") or sp.ks_list),
+                    max(cons.get("expand_candidates") or sp.expand_list),
+                    max(cons.get("depth_candidates") or sp.depth_list),
+                    max(cons.get("pixel_d_candidates") or sp.pixel_d_list),
+                    n_trunks=self.net.n_trunks)
             else:
                 cfg = sample_subnet(sp, seed=seed, n_trunks=self.net.n_trunks,
                                     **cons)

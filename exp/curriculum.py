@@ -162,11 +162,15 @@ def grid_corners(spec):
 # ---------------------------------------------------------------------------
 
 def jax_common(a):
+    # gate_frequency > 0 turns on periodic in-training validation (and with
+    # it per-corner gating in the shrink phases); otherwise validation is
+    # end-of-phase only — every eval through the relay costs real seconds
+    gf = getattr(a, "gate_frequency", 0)
     return ["--data_root", a.data_root, "--image_size", str(a.crop),
             "--base_batch_size", str(a.bs), "--n_worker", "2",
             "--manual_seed", str(getattr(a, "seed", SEED)),
             "--print_frequency", "1000",
-            "--validation_frequency", "1000000",
+            "--validation_frequency", str(gf if gf > 0 else 1000000),
             # per-epoch saves fetch the full 32 MB params+opt_state through
             # the relay (~90 s measured vs 1.3 s epoch compute) — save every
             # 20 epochs; a supervisor restart replays at most 20 cheap epochs
@@ -227,7 +231,7 @@ _PHASE_CONFIG_KEYS = {
 }
 _SHRINK_KEYS = _DATA_KEYS + ("pretrain_epochs", "pretrain_lr",
                              "phase_epochs", "phase_lr", "kd_ratio",
-                             "sandwich")
+                             "sandwich", "gate_frequency")
 for _t in ("kernel", "depth", "expand", "pixelshuffle_depth"):
     _PHASE_CONFIG_KEYS[_t] = _SHRINK_KEYS
 
@@ -364,6 +368,8 @@ def run_jax_curriculum(a, torch_inits):
                          "--kd_teacher", pretrain_ckpt]
             if a.sandwich:
                 argv += ["--sandwich"]
+            if a.gate_frequency > 0:
+                argv += ["--corner_gate"]
             train_ofa_net_sr_simple.main(argv)
             results[task] = grid_eval_jax(a, task, path)
             _mark_phase_complete(path, task, results[task])
@@ -409,14 +415,27 @@ def grid_eval_jax(a, task, path):
                       RunConfig(image_size=a.crop,
                                 manual_seed=getattr(a, "seed", SEED)),
                       provider)
-    rm.load_weights(os.path.join(path, "checkpoint"))
+    ckpt_dir = os.path.join(path, "checkpoint")
+    rm.load_weights(ckpt_dir)
+    base_loaded = True
     out = {}
     for (k, e, d, pd) in corners:
+        name = "K%d-E%d-D%d-PD%d" % (k, e, d, pd)
+        # per-corner gated snapshot (--gate_frequency): score each corner's
+        # best-observed weights, re-evaluated from the snapshot file rather
+        # than trusted from the sidecar
+        best_f = os.path.join(ckpt_dir, "best_%s.ckpt" % name)
+        if os.path.exists(best_f):
+            rm.load_weights(best_f)
+            base_loaded = False
+        elif not base_loaded:
+            rm.load_weights(ckpt_dir)
+            base_loaded = True
         cfg = uniform_subnet(space, k, e, d, pd, n_trunks=net.n_trunks)
         if task != "teacher":
             cfg = reference_quirk_arch_x4(cfg)
         _, psnr = rm.validate(cfg)
-        out["K%d-E%d-D%d-PD%d" % (k, e, d, pd)] = round(psnr, 3)
+        out[name] = round(psnr, 3)
     return out
 
 
@@ -536,8 +555,20 @@ def run_torch_curriculum(a, torch_inits):
                                   train_batch_size=a.bs, num_workers=2)
     results = {}
 
+    def gate_corners(net, corners, book, where):
+        """Torch mirror of SRRunManager.gate_corners: snapshot per-corner
+        best state_dicts (to disk — a full-space X4 sd per corner would
+        not fit RAM). Observation-only: never touches training state."""
+        for name, psnr in torch_grid_eval(net, provider, corners,
+                                          is_x4=True).items():
+            if psnr > book.get(name, {}).get("psnr", -1e9):
+                f = os.path.join(ckdir, "gate_%s.pt" % name)
+                torch.save(net.state_dict(), f)
+                book[name] = {"psnr": psnr, "where": where}
+
     def train_epochs(net, n_epochs, base_lr, dyn_bs, *, bn_eval,
-                     sample=None, tag="", teacher=None, sandwich_max=None):
+                     sample=None, tag="", teacher=None, sandwich_max=None,
+                     gate=None):
         opt = torch_optimizer(net, base_lr)
         t0 = time.time()
         for epoch in range(n_epochs):
@@ -598,6 +629,9 @@ def run_torch_curriculum(a, torch_inits):
                     torch.nn.utils.clip_grad_norm_(net.parameters(),
                                                    a.clip_grad_norm)
                 opt.step()
+            if gate is not None and (epoch + 1) % gate[0] == 0:
+                gate_corners(net, gate[1], gate[2],
+                             "epoch %d (%s)" % (epoch + 1, tag))
 
     done = _resumable_results(a, "torch")
     ckdir = os.path.join(a.out, "torch_ckpt")
@@ -693,11 +727,19 @@ def run_torch_curriculum(a, torch_inits):
                             max(spec["depth_list"]),
                             max(spec["pixel_d_list"]))
 
+        book = {} if a.gate_frequency > 0 else None
+        if book is not None:
+            # mirror the jax side: the phase-entry state is a gated
+            # candidate too (shrink.py warmstart validate_grid)
+            gate_corners(net, grid_corners(spec), book, "warmstart")
+
         if task == "kernel":
             train_epochs(net, spec["n_epochs"], spec["base_lr"],
                          spec["dynamic_batch_size"], bn_eval=False,
                          sample=sample, tag=task, teacher=kd_teacher,
-                         sandwich_max=sandwich_max)
+                         sandwich_max=sandwich_max,
+                         gate=(None if book is None else
+                               (a.gate_frequency, grid_corners(spec), book)))
         else:
             dims = {"depth": ("depth", sorted(spec["depth_list"],
                                               reverse=True)),
@@ -707,6 +749,8 @@ def run_torch_curriculum(a, torch_inits):
                         "pixelshuffle_depth",
                         sorted(spec["pixel_d_list"], reverse=True))}
             ctype, stage_list = dims[task]
+            dimkey = {"depth": "depth_list", "expand": "expand_list",
+                      "pixelshuffle_depth": "pixel_d_list"}[task]
             for stage in range(len(stage_list) - 1):
                 supported = stage_list[:stage + 2]
                 if task == "expand":
@@ -714,18 +758,38 @@ def run_torch_curriculum(a, torch_inits):
                     net.re_organize_middle_weights(
                         expand_ratio_stage=stage + 1)
                 net.set_constraint(list(supported), constraint_type=ctype)
+                # the stage's validation grid pins the staged dim to the
+                # currently supported candidates (shrink.py vl updates)
+                stage_corners = grid_corners(dict(spec,
+                                                  **{dimkey: supported}))
                 train_epochs(net, spec["n_epochs"], spec["base_lr"],
                              spec["dynamic_batch_size"], bn_eval=False,
                              sample=sample,
                              tag="%s-stage%d" % (task, stage),
                              teacher=kd_teacher,
-                             sandwich_max=sandwich_max)
+                             sandwich_max=sandwich_max,
+                             gate=(None if book is None else
+                                   (a.gate_frequency, stage_corners, book)))
             for t in ("_depth_include_list", "_expand_include_list",
                       "_pixelshuffle_depth_include_list",
                       "_ks_include_list"):
                 net.__dict__[t] = None
-        results[task] = torch_grid_eval(net, provider, grid_corners(spec),
-                                        is_x4=True)
+        if book is not None:
+            # final state is the last gated candidate; afterwards every
+            # full-grid corner has a book entry, measured by the same eval
+            # pipeline the non-gated path uses
+            gate_corners(net, grid_corners(spec), book, "end")
+            results[task] = {n: book[n]["psnr"]
+                             for (k, e, d, pd) in grid_corners(spec)
+                             for n in ["K%d-E%d-D%d-PD%d" % (k, e, d, pd)]}
+            with open(os.path.join(ckdir, "corner_best_%s.json" % task),
+                      "w") as f:
+                json.dump(book, f, indent=1)
+            print("torch %s gate provenance: %s" % (task, {
+                n: b["where"] for n, b in book.items()}), flush=True)
+        else:
+            results[task] = torch_grid_eval(net, provider,
+                                            grid_corners(spec), is_x4=True)
         print("torch %s done: %s" % (task, results[task]), flush=True)
         prev_sd = net.state_dict()
         save_sd(task, prev_sd)
@@ -800,6 +864,18 @@ def main():
                          "phases (measured on both backends under the "
                          "reference recipe). Phases the reference runs at "
                          "dynamic_batch_size=1 train 2 subnets/step")
+    ap.add_argument("--gate_frequency", type=int, default=0,
+                    help="validate the stage grid every N epochs during "
+                         "supernet shrink phases and snapshot per-corner "
+                         "best weights, on BOTH sides (the reference gates "
+                         "each phase on best validation PSNR and deploys "
+                         "per-subnet checkpoints from the history; "
+                         "progressive_shrinking.py:235-254). Phase results "
+                         "then report each corner's gated best, with "
+                         "provenance (epoch/stage) in corner_best.json. "
+                         "0 = off (end-of-phase eval only, the r3-r5a "
+                         "recipe). Gating is observation-only: training "
+                         "trajectories are bit-identical with it on or off")
     ap.add_argument("--teacher_only", action="store_true",
                     help="train + eval just the 2x teacher, then stop "
                          "(margin-scaling probes: how far the teacher gets "

@@ -84,6 +84,14 @@ def build_args(argv=None):
                         "shrink phases (both backends measured it sinking "
                         "below bicubic-x4 under the reference's uniform "
                         "sampling). Needs --dynamic_batch_size >= 2")
+    p.add_argument("--corner_gate", action="store_true",
+                   help="snapshot per-corner best weights during periodic "
+                        "validation (best_<corner>.ckpt + corner_best.json "
+                        "provenance). The reference gates each phase on "
+                        "best mean validation PSNR and deploys per-subnet "
+                        "checkpoints from the history; this makes that "
+                        "per-corner. Needs --validation_frequency <= "
+                        "n_epochs to ever fire")
     p.add_argument("--kd_teacher", type=str, default=None,
                    help="checkpoint dir/file of a trained max-net "
                         "(ks7/e6/d4/pd2 X4) used as the KD teacher when "
@@ -156,7 +164,7 @@ def main(argv=None):
         bn_momentum=args.bn_momentum, bn_eps=args.bn_eps,
         image_size=args.image_size,
         reference_quirks=args.reference_quirks,
-        sandwich_rule=args.sandwich)
+        sandwich_rule=args.sandwich, corner_gate=args.corner_gate)
     rm = SRRunManager(args.path, net, cfg, provider, teacher=teacher)
 
     # eval grid pinned to min/max of each dimension

@@ -45,6 +45,19 @@ def save_checkpoint(save_dir, tree, *, name="checkpoint.ckpt",
     return path
 
 
+def save_weights(save_dir, params, state, name):
+    """Weights-only sidecar checkpoint (per-corner best gating,
+    RunConfig.corner_gate). Unlike save_checkpoint it does NOT touch
+    latest.txt, so rolling-resume semantics are unaffected."""
+    os.makedirs(save_dir, exist_ok=True)
+    sd = serialization.to_state_dict(
+        jax.tree.map(np.asarray, {"params": params, "state": state}))
+    path = os.path.join(save_dir, name)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(sd))
+    return path
+
+
 def load_checkpoint(path_or_dir, template=None):
     """Load a checkpoint; directories resolve through latest.txt
     (run_manager.py:264-268). `template` (a pytree of arrays) restores exact

@@ -83,6 +83,16 @@ class RunConfig:
     # (with 1 sample the rule would erase elasticity); k >= 1 draws keep
     # the reference seed contract exactly (each k reseeds independently).
     sandwich_rule: bool = False
+    # per-corner best gating: during periodic validation, snapshot the
+    # weights whenever a validate-grid corner hits a new best PSNR
+    # (best_<corner>.ckpt + corner_best.json provenance sidecar in the
+    # checkpoint dir). The reference gates every phase's checkpoint on best
+    # mean validation PSNR (model_best.pth.tar,
+    # progressive_shrinking.py:235-254) and its deployment flow picks
+    # per-subnet checkpoints from the whole history; this is that, made
+    # explicit per corner. Snapshots are observation-only — training,
+    # seeds, and the warm-start chain are bit-identical with gating off.
+    corner_gate: bool = False
 
     manual_seed: int = 0
     model_init: str = "he_fout"
@@ -573,10 +583,51 @@ class SRRunManager:
                 log_f.close()
         return losses.avg, psnrs.avg
 
-    def train(self, validate_cfgs: Optional[Sequence[SubnetConfig]] = None,
+    def _quirk_cfg(self, cfg):
+        if cfg is None or not self.run_config.reference_quirks:
+            return cfg
+        from ..models.arch import (reference_quirk_arch_s4,
+                                   reference_quirk_arch_x4)
+        return (reference_quirk_arch_x4(cfg) if self.net.n_trunks == 2
+                else reference_quirk_arch_s4(cfg))
+
+    def gate_corners(self, named_psnrs, *, where):
+        """Per-corner best gating (RunConfig.corner_gate): for each
+        (corner_name, psnr), snapshot the current weights as
+        best_<corner>.ckpt when it beats the corner's recorded best, and
+        record provenance (`where`: 'epoch 12', 'stage 1 end', 'warmstart')
+        in corner_best.json. Pure observation — never touches the rolling
+        checkpoint, latest.txt, or best_acc."""
+        if not self.run_config.corner_gate:
+            return
+        from .checkpoint import save_weights
+        sidecar = os.path.join(self.save_path, "corner_best.json")
+        book = {}
+        if os.path.exists(sidecar):
+            try:
+                with open(sidecar) as f:
+                    book = json.load(f)
+            except (OSError, ValueError):
+                book = {}
+        changed = False
+        for name, psnr in named_psnrs:
+            if psnr > book.get(name, {}).get("psnr", -1e9):
+                save_weights(self.save_path, self.params, self.state,
+                             "best_%s.ckpt" % name)
+                book[name] = {"psnr": round(float(psnr), 3), "where": where}
+                changed = True
+        if changed:
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(book, f, indent=1)
+            os.replace(tmp, sidecar)
+
+    def train(self, validate_cfgs=None,
               constraints=None, fixed_cfg: Optional[SubnetConfig] = None):
         """Epoch loop + periodic validation + best-checkpoint gating
         (sr_run_manager.py:516-541 / progressive_shrinking.py:227-254).
+        validate_cfgs entries may be SubnetConfigs or (name, SubnetConfig)
+        tuples — names feed per-corner gating (RunConfig.corner_gate).
         fixed_cfg pins every step to one exact architecture (oracle
         one_arch_overfit)."""
         rc = self.run_config
@@ -588,9 +639,15 @@ class SRRunManager:
             log = "Epoch %d: train loss %.5f, psnr %.3f (%.1fs)" % (
                 epoch + 1, tr_loss, tr_psnr, time.time() - t0)
             if (epoch + 1) % rc.validation_frequency == 0:
-                cfgs = validate_cfgs or [None]
-                vals = [self.validate(c) for c in cfgs]
+                named = [c if isinstance(c, tuple) else ("cfg%d" % i, c)
+                         for i, c in enumerate(validate_cfgs or [None])]
+                # validate the as-executed (quirk) architecture so the gated
+                # corner matches what the final grid eval scores
+                vals = [self.validate(self._quirk_cfg(c)) for _, c in named]
                 mean_psnr = float(np.mean([v[1] for v in vals]))
+                self.gate_corners(
+                    [(n, v[1]) for (n, _), v in zip(named, vals)],
+                    where="epoch %d" % (epoch + 1))
                 is_best = mean_psnr > self.best_acc
                 self.best_acc = max(self.best_acc, mean_psnr)
                 log += " | valid psnr %.3f (best %.3f)" % (mean_psnr, self.best_acc)

@@ -26,9 +26,12 @@ from .run_manager import SRRunManager
 
 
 def validate_grid(run_manager: SRRunManager, *, ks_list=None, expand_list=None,
-                  depth_list=None, pixel_d_list=None, loader=None):
+                  depth_list=None, pixel_d_list=None, loader=None,
+                  gate_where=None):
     """Cartesian grid of uniform subnet settings, each validated
-    (progressive_shrinking.py:45-91). Returns (mean_loss, mean_psnr, log)."""
+    (progressive_shrinking.py:45-91). Returns (mean_loss, mean_psnr, log).
+    `gate_where` (a provenance string) additionally feeds the grid into
+    per-corner best gating (RunConfig.corner_gate)."""
     sp = run_manager.net.space
     # default grid pins each dimension to its min/max corners, like the
     # reference's validate_func_dict (train_ofa_net_sr_simple.py:227-232)
@@ -38,6 +41,7 @@ def validate_grid(run_manager: SRRunManager, *, ks_list=None, expand_list=None,
     pixel_d_list = pixel_d_list or sorted(sp.pixel_d_list)
 
     losses, psnrs, log = [], [], ""
+    gated = []
     for pd in pixel_d_list:
         for d in depth_list:
             for e in expand_list:
@@ -45,11 +49,32 @@ def validate_grid(run_manager: SRRunManager, *, ks_list=None, expand_list=None,
                     name = "PD%s-D%s-E%s-K%s" % (pd, d, e, k)
                     cfg = uniform_subnet(sp, k, e, d, pd,
                                          n_trunks=run_manager.net.n_trunks)
-                    loss, psnr = run_manager.validate(cfg, loader=loader)
+                    loss, psnr = run_manager.validate(
+                        run_manager._quirk_cfg(cfg), loader=loader)
                     losses.append(loss)
                     psnrs.append(psnr)
+                    gated.append(("K%d-E%d-D%d-PD%d" % (k, e, d, pd), psnr))
                     log += "%s (%.3f), " % (name, psnr)
+    if gate_where is not None:
+        run_manager.gate_corners(gated, where=gate_where)
     return float(np.mean(losses)), float(np.mean(psnrs)), log
+
+
+def _named_grid_cfgs(run_manager, vl):
+    """(name, cfg) pairs for the current validation grid — the same corners
+    validate_grid walks, named like the curriculum report keys so
+    per-corner gating and the final grid eval agree on identity."""
+    sp = run_manager.net.space
+    out = []
+    for pd in (vl.get("pixel_d_list") or sorted(sp.pixel_d_list)):
+        for d in (vl.get("depth_list") or _min_max(sp.depth_list)):
+            for e in (vl.get("expand_list") or _min_max(sp.expand_list)):
+                for k in (vl.get("ks_list") or _min_max(sp.ks_list)):
+                    out.append(("K%d-E%d-D%d-PD%d" % (k, e, d, pd),
+                                uniform_subnet(
+                                    sp, k, e, d, pd,
+                                    n_trunks=run_manager.net.n_trunks)))
+    return out
 
 
 def _stage_file(run_manager, task):
@@ -109,7 +134,8 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
             warmstart_path if os.path.isfile(warmstart_path)
             else os.path.join(warmstart_path, "latest.txt")):
         run_manager.load_weights(warmstart_path)
-        loss, psnr, log = validate_grid(run_manager, **vl)
+        loss, psnr, log = validate_grid(run_manager, **vl,
+                                        gate_where="warmstart")
         run_manager.write_log("warmstart: %.3f\t%.3f\t%s" % (loss, psnr, log), "valid")
 
     if task in ("kernel", "pretrain"):
@@ -118,7 +144,8 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
         # rerun must pick up the per-epoch checkpoint instead of retraining
         # from the warmstart. Missing checkpoint -> no-op (fresh phase).
         run_manager.load_model()
-        best = run_manager.train()
+        best = run_manager.train(
+            validate_cfgs=_named_grid_cfgs(run_manager, vl))
         save_stage_info(run_manager, task, {"stage": 1})
         return best
 
@@ -176,14 +203,18 @@ def supporting_elastic(run_manager: SRRunManager, task: str, *,
             # PREVIOUS stage's last checkpoint, whose epoch count would make
             # load_model skip this stage entirely.
             run_manager.save_model(epoch=-1)
-        best = run_manager.train(constraints=constraints)
+        best = run_manager.train(
+            constraints=constraints,
+            validate_cfgs=_named_grid_cfgs(run_manager, vl))
 
         info.pop("running_stage", None)
         info["stage"] = current_stage + 1
         run_manager.save_model(epoch=run_manager.run_config.n_epochs - 1,
                                name="%s_stage%d.ckpt" % (task, info["stage"]))
         save_stage_info(run_manager, task, info)
-        loss, psnr, log = validate_grid(run_manager, **vl)
+        loss, psnr, log = validate_grid(run_manager, **vl,
+                                        gate_where="stage %d end"
+                                                   % info["stage"])
         run_manager.write_log("stage %d: %.3f\t%.3f\t%s"
                               % (info["stage"], loss, psnr, log), "valid")
     return best

@@ -24,7 +24,7 @@ _mark_phase_complete = _mod._mark_phase_complete
 _CFG = dict(n_train=64, n_val=8, img=192, crop=96, bs=16, style="sharp",
             clip_grad_norm=0.0, seed=0, teacher_epochs=40, teacher_lr=1e-3,
             pretrain_epochs=98, pretrain_lr=1e-3, phase_epochs=4,
-            phase_lr=2.5e-4, kd_ratio=0.0, sandwich=False)
+            phase_lr=2.5e-4, kd_ratio=0.0, sandwich=False, gate_frequency=0)
 
 
 def _args(out, resume=None, **over):

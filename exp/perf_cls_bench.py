@@ -75,14 +75,12 @@ def run_cell(jax, jnp, net, trainer, bs, res, n_subnets, n_inner, space_seed,
         t_big = window(3)
         slopes.append((t_big - t_small) / (2 * n_inner))
         walls.append(t_big / (3 * n_inner))
-    slopes.sort()
+    # a slope far below the scan-amortized wall is RTT variance, not the
+    # chip (see select_slope_vs_wall; an r5 run published a 5.2 ms "step"
+    # next to 24.8 ms walls before this guard)
+    from ofa_sr_tpu.search.latency import select_slope_vs_wall
+    best, _, _ = select_slope_vs_wall(slopes, walls)
     walls.sort()
-    # a slope far below the wall is RTT variance, not the chip (the wall
-    # already amortizes RTT over 3*n_inner steps, so the true step can't
-    # be under ~0.6x of it — an r5 run published a 5.2 ms "step" next to
-    # 24.8 ms walls before this guard)
-    ok = [t for t in slopes if t > 0.6 * walls[0]]
-    best = ok[0] if ok else walls[0]
     # executed FLOPs: mean over the sampled archs (masked execution pays
     # max ks/e inside executed blocks; depth switches skip; dw_switch slices
     # the dw to the sampled shape — use the sampled-arch account as the

@@ -177,6 +177,25 @@ def filter_slope_samples(samples, *, floor_ms=0.0, max_spread=3.0):
     return sorted(kept), sorted(rejected)
 
 
+def select_slope_vs_wall(slopes, walls, *, lo_frac=0.6):
+    """Pick the best slope-timed step given the scan-amortized walls.
+
+    A wall (= big-window wall / steps-in-window) already dilutes the
+    constant dispatch+fetch RTT over many steps, so the true per-step
+    time cannot sit below ~`lo_frac`x of the smallest wall; a slope
+    under that bound is RTT variance in the window pair, not the chip
+    (an r5 cls run published a 5.2 ms "step" next to 24.8 ms walls
+    before this guard). Returns (best_ms, ok_slopes, rejected_slopes);
+    falls back to the smallest wall (a conservative upper bound on the
+    step) when every slope is rejected. Pure function."""
+    walls = sorted(walls)
+    slopes = sorted(slopes)
+    ok = [t for t in slopes if t > lo_frac * walls[0]]
+    rejected = [t for t in slopes if t not in ok]
+    best = ok[0] if ok else walls[0]
+    return best, ok, rejected
+
+
 def sample_slopes(window_fn, *, n_small, n_big, reps=3, max_attempts=None,
                   floor_ms=0.0, max_spread=3.0):
     """Collect `reps` guarded slope samples from paired timing windows.

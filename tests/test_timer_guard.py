@@ -82,3 +82,29 @@ class TestSampleSlopes:
         kept, _ = sample_slopes(fn, n_small=2, n_big=6, reps=3)
         assert len(kept) == 3
         assert len(calls) == 6  # exactly 3 pairs
+
+
+class TestSelectSlopeVsWall:
+    def test_clean_slope_wins(self):
+        from ofa_sr_tpu.search.latency import select_slope_vs_wall
+        best, ok, rej = select_slope_vs_wall([19.0, 20.1, 21.3],
+                                             [24.8, 25.1, 24.9])
+        assert best == 19.0
+        assert rej == []
+
+    def test_r5_garbage_slope_rejected(self):
+        # the literal r5 cls values: a 5.224 ms "step" cannot coexist with
+        # 24.8 ms scan-amortized walls
+        from ofa_sr_tpu.search.latency import select_slope_vs_wall
+        best, ok, rej = select_slope_vs_wall([5.224, 22.9, 23.4],
+                                             [24.806, 25.132])
+        assert rej == [5.224]
+        assert best == 22.9
+
+    def test_all_rejected_falls_back_to_wall(self):
+        # every slope below the bound -> the smallest wall is the honest
+        # (conservative) answer, never the garbage slope
+        from ofa_sr_tpu.search.latency import select_slope_vs_wall
+        best, ok, rej = select_slope_vs_wall([1.0, 2.0], [24.8, 25.0])
+        assert ok == []
+        assert best == 24.8

@@ -216,6 +216,28 @@ def write_partial(a, side, results):
     with open(tmp, "w") as f:
         json.dump(partial, f, indent=2)
     os.replace(tmp, path)
+    _mirror(a, path)
+
+
+def _mirror(a, path):
+    """Copy a freshly written report JSON into --mirror_dir (e.g. the git
+    repo) so a container wipe between sessions can never lose a finished
+    phase: the r5b sandwich run completed entirely under /tmp and its
+    report was wiped before it was ever committed."""
+    d = getattr(a, "mirror_dir", None)
+    if not d:
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, "%s_%s" % (
+            os.path.basename(os.path.normpath(a.out)),
+            os.path.basename(path)))
+        tmp = dst + ".tmp"
+        with open(path) as src, open(tmp, "w") as out:
+            out.write(src.read())
+        os.replace(tmp, dst)
+    except OSError as e:  # mirroring is belt-and-braces, never a blocker
+        print("mirror to %s failed: %s" % (d, e), flush=True)
 
 
 # config keys a phase's numbers depend on — a resume report whose config
@@ -901,6 +923,14 @@ def main():
     ap.add_argument("--torch_resume_report", type=str, default=None,
                     help="same for the torch half (phases need their saved "
                          "state_dict under <out>/torch_ckpt/)")
+    ap.add_argument("--mirror_dir", type=str, default=None,
+                    help="directory (e.g. the git repo) to mirror every "
+                         "report_partial/report JSON into as it is written, "
+                         "named <out-basename>_<report-name>. Reports under "
+                         "a /tmp --out do not survive a container wipe; the "
+                         "mirror puts a commit-able copy where the round "
+                         "driver's end-of-round commit will catch it even "
+                         "if the session ends mid-run.")
     ap.add_argument("--style", type=str, default="lowpass",
                     choices=["lowpass", "sharp"],
                     help="synthetic dataset style (see gen_tree): 'lowpass' "
@@ -944,6 +974,7 @@ def main():
         report["jax_sec"] = round(time.time() - t0, 1)
         with open(os.path.join(a.out, "report.json"), "w") as f:
             json.dump(report, f, indent=2)
+        _mirror(a, os.path.join(a.out, "report.json"))
     if not a.skip_torch:
         t0 = time.time()
         report["torch"] = run_torch_curriculum(a, torch_inits)
@@ -958,6 +989,7 @@ def main():
         report["delta_jax_minus_torch"] = deltas
     with open(os.path.join(a.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
+    _mirror(a, os.path.join(a.out, "report.json"))
     print(json.dumps(report, indent=2))
 
 

@@ -21,7 +21,7 @@ import json
 
 # config keys that may legitimately differ between the two halves
 _SIDE_LOCAL = {"out", "skip_torch", "skip_jax", "compile_cache", "data_root",
-               "jax_resume_report", "torch_resume_report"}
+               "jax_resume_report", "torch_resume_report", "mirror_dir"}
 
 
 def merge(jr: dict, tr: dict) -> dict:
